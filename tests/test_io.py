@@ -1,0 +1,117 @@
+"""Ingestion tests: triplet builder, MTX reader, generators, printers."""
+
+import io
+
+import numpy as np
+import pytest
+
+import sparsecholesky_tpu as sc
+from sparsecholesky_tpu.models import generators
+from sparsecholesky_tpu.utils import pprint as pp
+
+
+def test_triplet_merges_duplicates_by_summing():
+    # duplicate (0,1) entries, one given as (1,0): mirrored + summed,
+    # matching /root/reference/include/chol.hpp:334-346
+    A = sc.triplet_to_csc([0, 1, 0], [1, 0, 0], [2.0, 3.0, 1.0], 2)
+    assert A.nnz == 2
+    assert A[0, 1] == pytest.approx(5.0)
+    assert A[1, 0] == pytest.approx(5.0)  # symmetric access flips
+    assert A[0, 0] == pytest.approx(1.0)
+
+
+def test_triplet_sorted_within_columns():
+    A = sc.triplet_to_csc([2, 0, 1], [2, 2, 2], [1.0, 2.0, 3.0], 3)
+    col2 = A.indices[A.indptr[2] : A.indptr[3]]
+    assert col2.tolist() == [0, 1, 2]
+
+
+def test_triplet_rejects_out_of_range():
+    with pytest.raises(sc.IngestionError):
+        sc.triplet_to_csc([0, 5], [0, 0], [1.0, 1.0], 3)
+
+
+def test_mtx_reader_bundled(bcsstk01, bus1138):
+    assert bcsstk01.n == 48
+    assert bcsstk01.nnz == 224
+    assert bus1138.n == 1138
+    assert bus1138.nnz == 2596
+    # SPD: dense form must be positive definite
+    evals = np.linalg.eigvalsh(bcsstk01.to_dense())
+    assert evals.min() > 0
+
+
+def test_mtx_reader_stream():
+    text = """%%MatrixMarket matrix coordinate real symmetric
+% a comment
+3 3 4
+1 1 4.0
+2 1 1.0
+2 2 3.0
+3 3 2.0
+"""
+    A = sc.load_matrix_market(io.StringIO(text))
+    assert A.n == 3 and A.nnz == 4
+    assert A[1, 0] == pytest.approx(1.0)
+
+
+def test_mtx_reader_rejects_rectangular():
+    with pytest.raises(sc.IngestionError):
+        sc.load_matrix_market(io.StringIO("%%MatrixMarket\n2 3 1\n1 1 1.0\n"))
+
+
+def test_pattern_builder(thesis_A):
+    # all values are 1, pattern matches adjacency input
+    assert np.all(thesis_A.data == 1.0)
+    assert thesis_A[5, 1] == 1.0
+    assert thesis_A[4, 1] == 0.0
+
+
+def test_random_sparse_deterministic():
+    A = generators.random_sparse(20, 0.25)
+    B = generators.random_sparse(20, 0.25)
+    assert A.nnz == B.nnz
+    np.testing.assert_array_equal(A.data, B.data)
+    # diagonal boosted: SPD
+    assert np.linalg.eigvalsh(A.to_dense()).min() > 0
+
+
+def test_random_sparse_on_pattern(bcsstk01):
+    S = sc.analyze(bcsstk01)
+    A = generators.random_sparse_on_pattern(S.strict_Lp, S.strict_Li, S.n)
+    assert A.n == S.n
+    assert np.linalg.eigvalsh(A.to_dense()).min() > 0
+
+
+def test_poisson_generators():
+    A2 = generators.poisson2d(4)
+    assert A2.n == 16
+    d = A2.to_dense()
+    np.testing.assert_array_equal(d, d.T)
+    assert np.linalg.eigvalsh(d).min() > 0
+    A3 = generators.poisson3d(3)
+    assert A3.n == 27
+    assert np.linalg.eigvalsh(A3.to_dense()).min() > 0
+
+
+def test_transpose_roundtrip(bcsstk01):
+    T = bcsstk01.transpose()
+    np.testing.assert_allclose(T.to_dense(), bcsstk01.to_dense())
+    TT = T.transpose()
+    np.testing.assert_array_equal(TT.indptr, bcsstk01.indptr)
+    np.testing.assert_array_equal(TT.indices, bcsstk01.indices)
+    np.testing.assert_allclose(TT.data, bcsstk01.data)
+
+
+def test_spy_printer(thesis_A):
+    out = pp.spy(thesis_A.indptr, thesis_A.indices, thesis_A.n)
+    lines = out.splitlines()
+    assert len(lines) == 7
+    assert lines[1].split()[5] == "*"  # entry (5,1), stored upper at (1,5)
+
+
+def test_dense_and_panel_printers():
+    m = np.arange(4.0).reshape(2, 2)
+    assert "1.0000" in pp.dense_str(m)
+    out = pp.panel_str(m, rows=[3, 7], cols=[0, 1])
+    assert out.splitlines()[1].startswith("     3")

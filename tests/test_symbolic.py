@@ -1,0 +1,130 @@
+"""Symbolic-phase unit tests.
+
+Fixtures and expected vectors reuse the reference's public test vectors
+(/root/reference/tests/test_chol.cpp): the thesis 7x7 pattern, its
+elimination tree, and the column-5 reach.
+"""
+
+import numpy as np
+import pytest
+
+import sparsecholesky_tpu as sc
+from sparsecholesky_tpu import symbolic
+from sparsecholesky_tpu.models import generators
+
+
+def test_etree_thesis_pattern(thesis_A):
+    parent = sc.etree(thesis_A)
+    assert parent.tolist() == generators.THESIS_ETREE
+
+
+def test_ereach_thesis_pattern(thesis_A):
+    parent = sc.etree(thesis_A)
+    reach = sc.ereach(thesis_A, 5, parent)
+    assert reach.tolist() == generators.THESIS_REACH_COL5
+
+
+def test_postorder_is_valid(thesis_A):
+    parent = sc.etree(thesis_A)
+    post = sc.post_order(parent)
+    assert sorted(post.tolist()) == list(range(thesis_A.n))
+    # every node appears after all of its descendants
+    pos = np.empty(thesis_A.n, dtype=int)
+    pos[post] = np.arange(thesis_A.n)
+    for j, p in enumerate(parent):
+        if p != -1:
+            assert pos[j] < pos[p]
+
+
+def _dense_counts(A):
+    """Ground-truth column counts via per-column reach sets (O(n*nnz(L)))."""
+    parent = sc.etree(A)
+    n = A.n
+    counts = np.ones(n, dtype=np.int64)
+    for k in range(n):
+        for j in sc.ereach(A, k, parent, mark_diagonal=True):
+            counts[j] += 1
+    return counts
+
+
+def test_col_count_matches_reach(thesis_A, bcsstk01):
+    for A in (thesis_A, bcsstk01):
+        parent = sc.etree(A)
+        post = sc.post_order(parent)
+        counts = sc.col_count(A, parent, post)
+        assert counts.tolist() == _dense_counts(A).tolist()
+
+
+def test_symbolic_pattern_matches_reach(bcsstk01):
+    A = bcsstk01
+    parent = sc.etree(A)
+    post = sc.post_order(parent)
+    counts = sc.col_count(A, parent, post)
+    Lp, Li = symbolic.symbolic_pattern(A, parent, counts)
+    # rebuild pattern from per-column reach sets and compare
+    cols = [set([j]) for j in range(A.n)]
+    for k in range(A.n):
+        for j in sc.ereach(A, k, parent, mark_diagonal=True):
+            cols[int(j)].add(k)
+    for j in range(A.n):
+        got = Li[Lp[j] : Lp[j + 1]].tolist()
+        assert got == sorted(cols[j])
+        assert got[0] == j  # diagonal first
+
+
+def test_fundamental_supernodes_partition(bus1138):
+    S = sc.analyze(bus1138, amalgamation=False)
+    assert int(S.sn_ptr[0]) == 0 and int(S.sn_ptr[-1]) == S.n
+    # each supernode's rows start with its own columns
+    for s in range(S.ns):
+        c0, c1 = int(S.sn_ptr[s]), int(S.sn_ptr[s + 1])
+        rows = S.sn_rows[s]
+        assert rows[: c1 - c0].tolist() == list(range(c0, c1))
+        # strictly increasing rows
+        assert np.all(np.diff(rows) > 0)
+
+
+def test_amalgamation_preserves_structure(bus1138):
+    strict = sc.analyze(bus1138, amalgamation=False)
+    relaxed = sc.analyze(bus1138, amalgamation=True)
+    assert relaxed.ns <= strict.ns
+    # amalgamated rows remain supersets per column
+    for s in range(relaxed.ns):
+        c0, c1 = int(relaxed.sn_ptr[s]), int(relaxed.sn_ptr[s + 1])
+        rows = set(relaxed.sn_rows[s].tolist())
+        for j in range(c0, c1):
+            strict_col = set(
+                relaxed.strict_Li[relaxed.strict_Lp[j] : relaxed.strict_Lp[j + 1]].tolist()
+            )
+            assert strict_col <= rows
+
+
+def test_assembly_tree_and_levels(bus1138):
+    S = sc.analyze(bus1138)
+    # parent supernode is strictly later
+    for s in range(S.ns):
+        p = int(S.sparent[s])
+        assert p == -1 or p > s
+    # levels: children strictly earlier than parents
+    level_of = np.empty(S.ns, dtype=int)
+    for li, lev in enumerate(S.levels):
+        level_of[lev] = li
+    for s in range(S.ns):
+        p = int(S.sparent[s])
+        if p != -1:
+            assert level_of[s] < level_of[p]
+    # all supernodes scheduled exactly once
+    assert sorted(np.concatenate(S.levels).tolist()) == list(range(S.ns))
+
+
+def test_flop_count_positive(bus1138):
+    S = sc.analyze(bus1138)
+    assert S.flops() > 0
+    assert S.supernodal_nnz() >= S.strict_nnz - S.n  # block form stores >= strict
+
+
+def test_etree_rejects_lower():
+    A = sc.triplet_to_csc([0, 1], [0, 1], [1.0, 1.0], 2)
+    A.sym = "lower"
+    with pytest.raises(sc.SymbolicError):
+        sc.etree(A)
