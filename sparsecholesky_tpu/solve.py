@@ -1,0 +1,111 @@
+"""Level-scheduled supernodal sparse triangular solve (SpTRSV).
+
+The reference never solves Ax=b (SURVEY.md: "no solve routine"); this is a
+required capability of the TPU framework (BASELINE.json config 1/2).  The
+solve reuses the factorization plan's wavefront schedule and panel gathers:
+
+  forward  (L y = b):  per level, per bucket:
+      z = L11^{-1} y[cols]           (batched triangular solve)
+      y[below] -= L21 @ z            (batched matvec + scatter-add)
+      y[cols]  = z
+  backward (L^T x = y): levels reversed:
+      v = L21^T @ x[below]
+      x[cols] = L11^{-T} (y[cols] - v)
+
+Correctness follows from the same level-schedule argument as the
+factorization (SURVEY.md §2c): a supernode's columns depend only on strict
+assembly-tree descendants (earlier levels) in the forward pass and strict
+ancestors (later levels, processed first when reversed) in the backward
+pass; supernodes within a level touch disjoint column sets.
+
+Identity padding makes everything maskless: padded columns solve to 0,
+padded rows gather 0 and scatter to the dropped slot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .plan import FactorizePlan
+
+
+def _gather_panels(Lx, b):
+    return jnp.take(Lx, b.gather_idx, mode="fill", fill_value=0)
+
+
+def _solve_impl(arrays, Lx, rhs, *, n: int, dtype):
+    """Pure jittable solve of (P A P^T) = L L^T for one right-hand side in
+    ORIGINAL index order: applies perm, solves, applies iperm."""
+    perm = arrays["perm"]
+    rhs = rhs.astype(dtype)
+    y = rhs[perm]  # permuted RHS
+
+    # ---- forward: L y = b ----
+    for buckets in arrays["levels"]:
+        col_updates = []
+        below_updates = []
+        for b in buckets:
+            w_pad = b.gather_idx.shape[2]
+            P = _gather_panels(Lx, b)
+            L11 = jnp.tril(P[:, :w_pad, :])
+            cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
+            ycols = jnp.take(y, cidx, mode="fill", fill_value=0)[..., None]
+            z = jax.lax.linalg.triangular_solve(
+                L11, ycols, left_side=True, lower=True
+            )
+            col_updates.append((cidx, z[..., 0]))
+            if b.below_idx.shape[1]:
+                L21 = P[:, w_pad:, :]
+                u = jnp.einsum("bij,bj->bi", L21, z[..., 0],
+                               preferred_element_type=dtype)
+                below_updates.append((jnp.where(b.below_idx < 0, n, b.below_idx), u))
+        # batched commit: cols are disjoint within a level; below-updates
+        # accumulate into strictly-later levels' rows
+        for idx, z in col_updates:
+            y = y.at[idx].set(z, mode="drop")
+        for idx, u in below_updates:
+            y = y.at[idx].add(-u, mode="drop")
+
+    # ---- backward: L^T x = y ----
+    x = y
+    for buckets in reversed(arrays["levels"]):
+        col_updates = []
+        for b in buckets:
+            w_pad = b.gather_idx.shape[2]
+            P = _gather_panels(Lx, b)
+            L11 = jnp.tril(P[:, :w_pad, :])
+            cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
+            t = jnp.take(x, cidx, mode="fill", fill_value=0)
+            if b.below_idx.shape[1]:
+                L21 = P[:, w_pad:, :]
+                bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
+                xb = jnp.take(x, bidx, mode="fill", fill_value=0)
+                t = t - jnp.einsum("bij,bi->bj", L21, xb,
+                                   preferred_element_type=dtype)
+            z = jax.lax.linalg.triangular_solve(
+                L11, t[..., None], left_side=True, lower=True, transpose_a=True
+            )
+            col_updates.append((cidx, z[..., 0]))
+        for idx, z in col_updates:
+            x = x.at[idx].set(z, mode="drop")
+
+    return x[arrays["iperm"]]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dtype"))
+def _solve_jit(arrays, Lx, rhs, n, dtype):
+    return _solve_impl(arrays, Lx, rhs, n=n, dtype=dtype)
+
+
+def solve(plan: FactorizePlan, Lx, rhs, *, arrays=None):
+    """Solve A x = rhs given the factor block-store Lx (from factorize)."""
+    from .numeric import device_arrays
+
+    if arrays is None:
+        arrays = device_arrays(plan)
+    return _solve_jit(
+        arrays, Lx, jnp.asarray(rhs), plan.n, jnp.dtype(plan.dtype)
+    )

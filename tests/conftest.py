@@ -8,7 +8,7 @@ sets them at collection time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # fp64 on CPU so oracle comparisons hold at reference tolerance (1e-9)
 os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-selects the TPU platform via
+# jax.config.update at interpreter start; override it back to CPU before
+# any backend initializes (tests must not touch the real chip).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

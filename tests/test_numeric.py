@@ -1,0 +1,122 @@
+"""Device (XLA-on-CPU) supernodal factorization tests vs dense oracle,
+following the reference's oracle pattern (/root/reference/tests/test_chol.cpp:99-137)
+extended with residual, permutation, refactorization and non-PD cases."""
+
+import numpy as np
+import pytest
+
+import sparsecholesky_tpu as sc
+from sparsecholesky_tpu.api import chol
+from sparsecholesky_tpu.models import generators
+
+from conftest import dense_chol
+
+
+def _check_factor(A, F, tol=1e-9):
+    """Entrywise check of L against the dense oracle of P A P^T."""
+    perm = F.plan.perm
+    Ad = A.to_dense()[np.ix_(perm, perm)]
+    expected = np.linalg.cholesky(Ad)
+    got = np.tril(F.L().to_dense())
+    np.testing.assert_allclose(got, expected, atol=tol * max(1.0, np.abs(expected).max()))
+
+
+def test_supernodal_tiny(tiny_spd):
+    F = chol(tiny_spd)
+    _check_factor(tiny_spd, F)
+
+
+def test_supernodal_bcsstk01(bcsstk01):
+    F = chol(bcsstk01)
+    _check_factor(bcsstk01, F)
+    # residual
+    Ld = np.tril(F.L().to_dense())
+    Ad = bcsstk01.to_dense()
+    rel = np.linalg.norm(Ad - Ld @ Ld.T) / np.linalg.norm(Ad)
+    assert rel < 1e-12
+
+
+def test_supernodal_1138bus(bus1138):
+    F = chol(bus1138)
+    Ld = np.tril(F.L().to_dense())
+    Ad = bus1138.to_dense()
+    rel = np.linalg.norm(Ad - Ld @ Ld.T) / np.linalg.norm(Ad)
+    assert rel < 1e-12
+
+
+def test_matches_simplicial_oracle(bcsstk01):
+    from sparsecholesky_tpu import oracle
+
+    F = chol(bcsstk01, ordering="natural")
+    L_dev = np.tril(F.L().to_dense())
+    L_cpu = np.tril(oracle.chol_simplicial(bcsstk01).to_dense())
+    np.testing.assert_allclose(L_dev, L_cpu, atol=1e-9 * np.abs(L_cpu).max())
+
+
+@pytest.mark.parametrize("ordering", ["natural", "rcm", "amd"])
+def test_orderings(bcsstk01, ordering):
+    F = chol(bcsstk01, ordering=ordering)
+    _check_factor(bcsstk01, F)
+    x = F.solve(np.ones(bcsstk01.n))
+    r = bcsstk01.to_scipy() @ x - 1.0
+    assert np.linalg.norm(r) < 1e-8
+
+
+def test_random_matrices():
+    for n, density, seed in [(30, 0.4, 1), (77, 0.2, 2), (150, 0.08, 3)]:
+        A = generators.random_sparse(n, density, seed=seed)
+        F = chol(A)
+        _check_factor(A, F)
+
+
+def test_poisson2d():
+    A = generators.poisson2d(12)
+    F = chol(A, ordering="nd-grid", grid_shape=(12, 12))
+    _check_factor(A, F)
+
+
+def test_solve(bus1138):
+    F = chol(bus1138, ordering="amd")
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(bus1138.n)
+    x = F.solve(b)
+    r = np.linalg.norm(bus1138.to_scipy() @ x - b) / np.linalg.norm(b)
+    assert r < 1e-10
+
+
+def test_solve_multiple_rhs_sequential():
+    A = generators.random_sparse(50, 0.3, seed=9)
+    F = chol(A)
+    for seed in range(3):
+        b = np.random.default_rng(seed).standard_normal(50)
+        x = F.solve(b)
+        assert np.linalg.norm(A.to_scipy() @ x - b) < 1e-9
+
+
+def test_refactorize(bcsstk01):
+    F = chol(bcsstk01)
+    # scale values: factor of 4 scales L by 2
+    F2 = F.refactorize(bcsstk01.data * 4.0)
+    L1 = F.L().to_dense()
+    L2 = F2.L().to_dense()
+    np.testing.assert_allclose(L2, 2.0 * L1, rtol=1e-12)
+
+
+def test_not_positive_definite():
+    A = sc.triplet_to_csc([0, 0, 1], [0, 1, 1], [1.0, 9.0, 1.0], 2)
+    with pytest.raises(sc.NotPositiveDefiniteError) as ei:
+        chol(A)
+    assert ei.value.supernode is not None
+
+
+def test_log_det(bcsstk01):
+    F = chol(bcsstk01)
+    sign, logdet = np.linalg.slogdet(bcsstk01.to_dense())
+    assert sign > 0
+    assert F.log_det() == pytest.approx(logdet, rel=1e-10)
+
+
+def test_determinism(bcsstk01):
+    F1 = chol(bcsstk01)
+    F2 = chol(bcsstk01)
+    np.testing.assert_array_equal(np.asarray(F1.Lx), np.asarray(F2.Lx))
