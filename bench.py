@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Runs the supernodal factorization benchmark on the default workload
+(ND-ordered 3D Poisson) on whatever accelerator JAX selects (the real TPU
+chip under the driver).  See sparsecholesky_tpu/bench.py for the metric and
+baseline definitions.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    from sparsecholesky_tpu.utils.cache import setup_runtime
+
+    setup_runtime()
+    from sparsecholesky_tpu.bench import run_bench
+
+    matrix = os.environ.get("SPARSECHOL_BENCH_MATRIX", "poisson3d:24")
+    result = run_bench(matrix=matrix)
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+    }
+    print(json.dumps(out))
+    # full detail on stderr for humans
+    print(json.dumps(result, indent=2), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+// Native symbolic-analysis engine for sparsecholesky_tpu.
+//
+// TPU-native framework component replacing the reference's header-only C++
+// symbolic layer (/root/reference/include/chol.hpp:378-946) for large
+// matrices where the NumPy/Python implementation in symbolic.py is too
+// slow.  Same classical algorithms (Liu elimination tree with path
+// compression, youngest-child-first postorder, skeleton column counts,
+// row-subtree reach fill), freshly implemented against flat C arrays and
+// exposed with a C ABI for ctypes.
+//
+// Protocol (two calls, caller allocates):
+//   1) sct_symbolic_analyze(n, Ap, Ai, parent, post, counts) -> nnz(L)
+//   2) sct_symbolic_fill(n, Ap, Ai, parent, counts, Lp, Li)  -> 0 on success
+//
+// Input is the canonical upper-triangle CSC pattern (int64 colptr Ap,
+// int32 row indices Ai).  Output pattern is lower CSC, columns sorted.
+
+#include <cstdint>
+#include <vector>
+
+extern "C" {
+
+// Liu's elimination tree with ancestor path compression.
+static void etree_impl(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                       int32_t* parent, std::vector<int32_t>& ancestor) {
+    for (int64_t j = 0; j < n; ++j) {
+        parent[j] = -1;
+        ancestor[j] = -1;
+    }
+    for (int64_t k = 0; k < n; ++k) {
+        for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+            int32_t i = Ai[p];
+            while (i != -1 && i < (int32_t)k) {
+                int32_t inext = ancestor[i];
+                ancestor[i] = (int32_t)k;
+                if (inext == -1) parent[i] = (int32_t)k;
+                i = inext;
+            }
+        }
+    }
+}
+
+// Iterative DFS postorder, youngest-child-first child lists.
+static void post_order_impl(int64_t n, const int32_t* parent, int32_t* post,
+                            std::vector<int32_t>& head,
+                            std::vector<int32_t>& next,
+                            std::vector<int32_t>& stack) {
+    for (int64_t j = 0; j < n; ++j) head[j] = -1;
+    for (int64_t j = n - 1; j >= 0; --j) {
+        int32_t p = parent[j];
+        if (p != -1) {
+            next[j] = head[p];
+            head[p] = (int32_t)j;
+        }
+    }
+    int64_t k = 0;
+    for (int64_t root = 0; root < n; ++root) {
+        if (parent[root] != -1) continue;
+        int64_t top = 0;
+        stack[top] = (int32_t)root;
+        while (top >= 0) {
+            int32_t j = stack[top];
+            int32_t child = head[j];
+            if (child == -1) {
+                post[k++] = j;
+                --top;
+            } else {
+                head[j] = next[child];
+                stack[++top] = child;
+            }
+        }
+    }
+}
+
+// Skeleton column counts (first-descendant / maxfirst / prevleaf / LCA).
+static void col_count_impl(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                           const int32_t* parent, const int32_t* post,
+                           int64_t* counts) {
+    std::vector<int64_t> first(n, -1), delta(n, 0);
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t j = post[k];
+        delta[j] = (first[j] == -1) ? 1 : 0;
+        while (j != -1 && first[j] == -1) {
+            first[j] = k;
+            j = parent[j];
+        }
+    }
+    // structural transpose of the upper pattern (counting sort)
+    std::vector<int64_t> ATp(n + 1, 0);
+    std::vector<int32_t> ATi(Ap[n]);
+    for (int64_t p = 0; p < Ap[n]; ++p) ATp[Ai[p] + 1]++;
+    for (int64_t j = 0; j < n; ++j) ATp[j + 1] += ATp[j];
+    {
+        std::vector<int64_t> cur(ATp.begin(), ATp.end() - 1);
+        for (int64_t j = 0; j < n; ++j)
+            for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p)
+                ATi[cur[Ai[p]]++] = (int32_t)j;
+    }
+    std::vector<int64_t> maxfirst(n, -1), prevleaf(n, -1), ancestor(n);
+    for (int64_t j = 0; j < n; ++j) ancestor[j] = j;
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t j = post[k];
+        int64_t pj = parent[j];
+        if (pj != -1) delta[pj] -= 1;
+        for (int64_t p = ATp[j]; p < ATp[j + 1]; ++p) {
+            int64_t i = ATi[p];
+            if (i <= j) continue;
+            if (first[j] <= maxfirst[i]) continue;
+            maxfirst[i] = first[j];
+            int64_t jprev = prevleaf[i];
+            prevleaf[i] = j;
+            delta[j] += 1;
+            if (jprev != -1) {
+                int64_t q = jprev;
+                while (q != ancestor[q]) q = ancestor[q];
+                int64_t s = jprev;
+                while (s != q) {
+                    int64_t sp = ancestor[s];
+                    ancestor[s] = q;
+                    s = sp;
+                }
+                delta[q] -= 1;
+            }
+        }
+        if (pj != -1) ancestor[j] = pj;
+    }
+    for (int64_t j = 0; j < n; ++j) counts[j] = delta[j];
+    for (int64_t j = 0; j < n; ++j) {
+        int64_t pj = parent[j];
+        if (pj != -1) counts[pj] += counts[j];
+    }
+}
+
+// Phase 1: etree + postorder + column counts.  Returns nnz(L).
+int64_t sct_symbolic_analyze(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                             int32_t* parent, int32_t* post, int64_t* counts) {
+    std::vector<int32_t> ws1(n), ws2(n), ws3(n);
+    etree_impl(n, Ap, Ai, parent, ws1);
+    post_order_impl(n, parent, post, ws1, ws2, ws3);
+    col_count_impl(n, Ap, Ai, parent, post, counts);
+    int64_t nnz = 0;
+    for (int64_t j = 0; j < n; ++j) nnz += counts[j];
+    return nnz;
+}
+
+// Phase 2: fill L's lower-CSC pattern (columns sorted: rows are appended in
+// increasing k).  Lp must have n+1 slots, Li nnz(L) slots.
+int32_t sct_symbolic_fill(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                          const int32_t* parent, const int64_t* counts,
+                          int64_t* Lp, int32_t* Li) {
+    Lp[0] = 0;
+    for (int64_t j = 0; j < n; ++j) Lp[j + 1] = Lp[j] + counts[j];
+    std::vector<int64_t> cursor(n);
+    for (int64_t j = 0; j < n; ++j) {
+        cursor[j] = Lp[j];
+        Li[cursor[j]++] = (int32_t)j;  // diagonal first
+    }
+    std::vector<int32_t> w(n, -1), s(n);
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t top = n;
+        w[k] = (int32_t)k;
+        for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+            int32_t i = Ai[p];
+            if (i > (int32_t)k) continue;
+            int64_t len = 0;
+            while (w[i] != (int32_t)k) {
+                s[len++] = i;
+                w[i] = (int32_t)k;
+                i = parent[i];
+            }
+            while (len > 0) s[--top] = s[--len];
+        }
+        for (int64_t t = top; t < n; ++t) {
+            int64_t j = s[t];
+            Li[cursor[j]++] = (int32_t)k;
+        }
+    }
+    for (int64_t j = 0; j < n; ++j)
+        if (cursor[j] != Lp[j + 1]) return 1;  // counts/fill mismatch
+    return 0;
+}
+
+// Row unions per supernode: given L's pattern and supernode boundaries,
+// emit the sorted union of row indices of each supernode's columns.
+// rows_out is caller-allocated with capacity cap; returns total emitted or
+// -1 if cap exceeded.  offsets_out[s] = start of supernode s's rows.
+int64_t sct_supernode_rows(int64_t n, const int64_t* Lp, const int32_t* Li,
+                           int64_t ns, const int64_t* sn_ptr,
+                           int64_t* offsets_out, int32_t* rows_out,
+                           int64_t cap) {
+    std::vector<int32_t> mark(n, -1);
+    int64_t out = 0;
+    for (int64_t s = 0; s < ns; ++s) {
+        offsets_out[s] = out;
+        int64_t c0 = sn_ptr[s], c1 = sn_ptr[s + 1];
+        // union preserving sortedness: merge column c0 (already sorted and a
+        // superset start) then insert any extras from later columns, then sort
+        int64_t start = out;
+        for (int64_t j = c0; j < c1; ++j) {
+            for (int64_t p = Lp[j]; p < Lp[j + 1]; ++p) {
+                int32_t r = Li[p];
+                if (mark[r] != (int32_t)s) {
+                    mark[r] = (int32_t)s;
+                    if (out >= cap) return -1;
+                    rows_out[out++] = r;
+                }
+            }
+        }
+        // insertion sort is fine: lists are nearly sorted (col c0 dominates)
+        for (int64_t a = start + 1; a < out; ++a) {
+            int32_t v = rows_out[a];
+            int64_t b = a - 1;
+            while (b >= start && rows_out[b] > v) {
+                rows_out[b + 1] = rows_out[b];
+                --b;
+            }
+            rows_out[b + 1] = v;
+        }
+    }
+    offsets_out[ns] = out;
+    return out;
+}
+
+}  // extern "C"

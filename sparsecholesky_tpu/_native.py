@@ -1,0 +1,91 @@
+"""ctypes binding to the native symbolic engine (native/symbolic.cpp).
+
+Loaded lazily; if the shared library is missing it is built with the
+repo's Makefile (single translation unit, sub-second).  Every entry point
+has a NumPy fallback in symbolic.py — the native path is a performance
+component for large matrices, not a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_HERE, "native")
+_SO = os.path.join(_NATIVE_DIR, "libsctsymbolic.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    lib = ctypes.CDLL(_SO)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sct_symbolic_analyze.restype = ctypes.c_int64
+    lib.sct_symbolic_analyze.argtypes = [ctypes.c_int64, i64p, i32p, i32p, i32p, i64p]
+    lib.sct_symbolic_fill.restype = ctypes.c_int32
+    lib.sct_symbolic_fill.argtypes = [ctypes.c_int64, i64p, i32p, i32p, i64p, i64p, i32p]
+    lib.sct_supernode_rows.restype = ctypes.c_int64
+    lib.sct_supernode_rows.argtypes = [
+        ctypes.c_int64, i64p, i32p, ctypes.c_int64, i64p, i64p, i32p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def _p64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _p32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def symbolic_pipeline(A):
+    """(parent, post, counts, Lp, Li) for a canonical upper-CSC matrix."""
+    lib = _load()
+    n = A.n
+    Ap = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    Ai = np.ascontiguousarray(A.indices, dtype=np.int32)
+    parent = np.empty(n, dtype=np.int32)
+    post = np.empty(n, dtype=np.int32)
+    counts = np.empty(n, dtype=np.int64)
+    nnz = lib.sct_symbolic_analyze(n, _p64(Ap), _p32(Ai), _p32(parent), _p32(post), _p64(counts))
+    if nnz < n:
+        raise RuntimeError("native symbolic_analyze failed")
+    Lp = np.empty(n + 1, dtype=np.int64)
+    Li = np.empty(nnz, dtype=np.int32)
+    rc = lib.sct_symbolic_fill(n, _p64(Ap), _p32(Ai), _p32(parent), _p64(counts), _p64(Lp), _p32(Li))
+    if rc != 0:
+        raise RuntimeError("native symbolic_fill failed (counts mismatch)")
+    return parent, post, counts, Lp, Li
+
+
+def supernode_rows(Lp, Li, sn_ptr, n):
+    """Sorted row union per supernode from L's pattern (native)."""
+    lib = _load()
+    Lp = np.ascontiguousarray(Lp, dtype=np.int64)
+    Li = np.ascontiguousarray(Li, dtype=np.int32)
+    sn_ptr = np.ascontiguousarray(sn_ptr, dtype=np.int64)
+    ns = len(sn_ptr) - 1
+    cap = int(Lp[-1]) + n  # union sizes are bounded by nnz(L) per-col sums
+    offsets = np.empty(ns + 1, dtype=np.int64)
+    rows = np.empty(cap, dtype=np.int32)
+    total = lib.sct_supernode_rows(n, _p64(Lp), _p32(Li), ns, _p64(sn_ptr), _p64(offsets), _p32(rows), cap)
+    if total < 0:
+        raise RuntimeError("native supernode_rows capacity exceeded")
+    return [rows[offsets[s] : offsets[s + 1]].astype(np.int64) for s in range(ns)]

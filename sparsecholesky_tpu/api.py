@@ -9,6 +9,14 @@ The reference's top-level surface is ``chol(A)`` / ``chol_sn(A)`` /
     x    = F.solve(b)                      # new capability (BASELINE cfg 1)
     F2   = F.refactorize(new_values)       # schol/chol split, explicit
     L    = F.L()                           # lower CSC, reference-comparable
+
+Extras the reference lacks but production solvers need:
+  * ``scale=True`` — symmetric Jacobi equilibration (factor D A D with
+    unit diagonal), which keeps ill-scaled SPD matrices factorizable in
+    fp32 on the MXU;
+  * ``F.solve(b, refine=k)`` — k steps of iterative refinement with the
+    residual computed in fp64 on host, recovering fp64-class solution
+    accuracy from an fp32 factor.
 """
 
 from __future__ import annotations
@@ -30,40 +38,92 @@ class CholeskyFactor:
 
     plan: FactorizePlan
     arrays: dict
-    Lx: object  # device array, block store (N_L + 1 slots)
+    Lx: object   # device array, block store (N_L + 1 slots), factor of D A D
+    d: object    # device array [n], equilibration vector (ones if unscaled)
+    A: CSCMatrix | None = None  # original matrix (for refinement residuals)
+    backend: str = "xla"
+    scaled: bool = False
 
-    def solve(self, rhs) -> np.ndarray:
-        """Solve A x = rhs (rhs in original index order)."""
-        return np.asarray(
-            _solve.solve(self.plan, self.Lx, rhs, arrays=self.arrays)
+    def solve(self, rhs, *, refine: int = 0) -> np.ndarray:
+        """Solve A x = rhs (rhs in original index order).
+
+        ``refine`` > 0 runs that many iterative-refinement steps: the
+        residual r = b - A x is computed in fp64 on host against the
+        original values, and the correction is solved with the existing
+        factor.  Requires the factor to have been built via chol() (which
+        retains A).
+        """
+        x = np.asarray(
+            _solve.solve(self.plan, self.Lx, rhs, d=self.d, arrays=self.arrays)
         )
+        if refine:
+            if self.A is None:
+                raise ValueError("refinement needs the original matrix")
+            max_steps = 30 if refine in (True, "auto") else int(refine)
+            Asp = self.A.to_scipy()
+            b64 = np.asarray(rhs, dtype=np.float64)
+            x = x.astype(np.float64)
+            rnorm_prev = np.inf
+            for _ in range(max_steps):
+                r = b64 - Asp @ x
+                rnorm = float(np.linalg.norm(r))
+                if not (rnorm < 0.5 * rnorm_prev):  # stalled / converged
+                    break
+                rnorm_prev = rnorm
+                dx = np.asarray(
+                    _solve.solve(
+                        self.plan, self.Lx, r, d=self.d, arrays=self.arrays
+                    )
+                )
+                x = x + dx
+        return x
 
     def L(self) -> CSCMatrix:
-        """Export the factor of P A P^T as sorted lower CSC (host)."""
-        return self.plan.extract_csc(np.asarray(self.Lx[: self.plan.N_L]))
+        """Export the factor of P A P^T as sorted lower CSC (host).
+
+        The stored factor is of D A D; rows are unscaled by 1/d so that
+        L @ L.T == P A P^T exactly like the reference's output."""
+        Lx = np.asarray(self.Lx[: self.plan.N_L]).astype(np.float64)
+        dinv = 1.0 / np.asarray(self.d, dtype=np.float64)
+        Lx = Lx * dinv[self.plan.slot_row]
+        return self.plan.extract_csc(Lx)
 
     def log_det(self) -> float:
-        """log det(A) = 2 * sum(log diag L)."""
-        diag = self.diag()
-        return float(2.0 * np.sum(np.log(diag)))
+        """log det(A) = 2 sum(log diag L') - 2 sum(log d)."""
+        diag = self._scaled_diag()
+        dv = np.asarray(self.d, dtype=np.float64)
+        return float(2.0 * (np.sum(np.log(diag)) - np.sum(np.log(dv))))
 
     def diag(self) -> np.ndarray:
-        """Diagonal of L (in permuted order)."""
+        """Diagonal of L (of P A P^T, unscaled), in permuted order."""
+        dv = np.asarray(self.d, dtype=np.float64)
+        return self._scaled_diag() / dv
+
+    def _scaled_diag(self) -> np.ndarray:
         Lx = np.asarray(self.Lx)
-        out = np.empty(self.plan.n, dtype=Lx.dtype)
         S = self.plan.S
+        out = np.empty(self.plan.n, dtype=np.float64)
         for s in range(S.ns):
             w = int(self.plan.block_w[s])
             off = int(self.plan.block_off[s])
-            for j in range(w):
-                out[int(S.sn_ptr[s]) + j] = Lx[off + j * w + j]
+            jj = np.arange(w)
+            out[int(S.sn_ptr[s]) + jj] = Lx[off + jj * w + jj]
         return out
 
     def refactorize(self, Ax) -> "CholeskyFactor":
         """Numeric-only refactorization with new values on the same pattern
         (the reference's schol/chol split as a first-class operation)."""
-        Lx = _numeric.factorize(self.plan, Ax, arrays=self.arrays)
-        return CholeskyFactor(self.plan, self.arrays, Lx)
+        Lx, d = _numeric.factorize(
+            self.plan, Ax, arrays=self.arrays, backend=self.backend,
+            scale=self.scaled,
+        )
+        newA = None
+        if self.A is not None:
+            newA = CSCMatrix(
+                self.A.n, self.A.indptr, self.A.indices,
+                np.asarray(Ax), sym=self.A.sym,
+            )
+        return dataclasses.replace(self, Lx=Lx, d=d, A=newA)
 
     @property
     def perm(self) -> np.ndarray:
@@ -77,6 +137,7 @@ def chol(
     grid_shape=None,
     backend: str = "xla",
     dtype=None,
+    scale: bool = False,
     analyze_kwargs: dict | None = None,
 ) -> CholeskyFactor:
     """Full sparse Cholesky pipeline: ordering -> symbolic -> plan -> numeric.
@@ -88,5 +149,16 @@ def chol(
     perm = compute_ordering(A, ordering, grid_shape=grid_shape)
     plan = compile_plan(A, perm=perm, dtype=dtype, analyze_kwargs=analyze_kwargs)
     arrays = _numeric.device_arrays(plan)
-    Lx = _numeric.factorize(plan, A.data, arrays=arrays, backend=backend)
-    return CholeskyFactor(plan, arrays, Lx)
+    Lx, d = _numeric.factorize(
+        plan, A.data, arrays=arrays, backend=backend, scale=scale
+    )
+    return CholeskyFactor(
+        plan, arrays, Lx, d, A=A, backend=backend, scaled=scale
+    )
+
+
+def analyze_and_plan(A: CSCMatrix, **kw) -> FactorizePlan:
+    """Symbolic-only entry point (the reference's schol)."""
+    perm = compute_ordering(A, kw.pop("ordering", "natural"),
+                            grid_shape=kw.pop("grid_shape", None))
+    return compile_plan(A, perm=perm, **kw)

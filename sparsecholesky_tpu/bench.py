@@ -1,0 +1,105 @@
+"""Benchmark harness.
+
+Metric (BASELINE.json): factorization GFLOP/s/chip and nnz(L)/s, measured
+on the steady-state numeric refactorization (symbolic plan reused — the
+schol/chol split both codebases share).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
+speedup of this framework's steady-state numeric factorization over
+scipy.sparse.linalg.splu's numeric-only refactorization (its
+``options=dict(Fact='SamePattern')`` equivalent is not exposed, so full
+splu time serves as the CPU direct-solver baseline) on the same matrix and
+host — the closest available stand-in for the reference's CPU supernodal
+path, which does not compile here (needs C++23 std::expected; g++ 12).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _cpu_baseline_seconds(A, repeats: int = 3) -> float:
+    """CPU direct-factorization baseline: scipy splu numeric time."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    M = A.to_scipy().tocsc()
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        spla.splu(M, permc_spec="MMD_AT_PLUS_A")
+        best = min(best, time.time() - t0)
+    return best
+
+
+def run_bench(
+    matrix: str = "poisson3d:24",
+    ordering: str = "auto-grid",
+    dtype: str = "float32",
+    backend: str = "xla",
+    repeats: int = 5,
+    scale: bool = True,
+) -> dict:
+    from .cli import _load
+    from .api import chol
+
+    A, grid_shape = _load(matrix)
+    if ordering == "auto-grid":
+        ordering = "nd-grid" if grid_shape is not None else "amd"
+
+    t_sym0 = time.time()
+    F = chol(
+        A,
+        ordering=ordering,
+        grid_shape=grid_shape,
+        dtype=np.dtype(dtype),
+        scale=scale,
+        backend=backend,
+    )
+    t_build = time.time() - t_sym0
+
+    # steady-state numeric refactorization
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        F = F.refactorize(A.data)
+        np.asarray(F.Lx[:1])  # block on completion
+        best = min(best, time.time() - t0)
+
+    flops = F.plan.true_flops()
+    nnzL = F.plan.nnz_L()
+    gflops = flops / best / 1e9
+
+    # correctness: solve backward error
+    b = np.ones(A.n)
+    x = F.solve(b, refine="auto")
+    Asp = A.to_scipy()
+    nrmA = np.abs(Asp).sum(axis=1).max()
+    be = float(
+        np.linalg.norm(Asp @ x - b)
+        / (nrmA * np.linalg.norm(x) + np.linalg.norm(b))
+    )
+
+    cpu_s = _cpu_baseline_seconds(A)
+
+    return {
+        "metric": f"supernodal factorize GFLOP/s/chip ({matrix}, {ordering}, {dtype})",
+        "value": round(gflops, 4),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(cpu_s / best, 4),
+        "detail": {
+            "n": A.n,
+            "nnz_A": A.nnz,
+            "nnz_L": nnzL,
+            "true_flops": flops,
+            "padded_flops": F.plan.padded_flops(),
+            "numeric_seconds": best,
+            "nnzL_per_s": nnzL / best,
+            "build_seconds_incl_compile": t_build,
+            "solve_backward_error": be,
+            "cpu_splu_seconds": cpu_s,
+            "baseline_def": "scipy splu factorize wall-time on this host",
+        },
+    }

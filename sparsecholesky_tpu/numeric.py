@@ -103,6 +103,9 @@ def device_arrays(plan: FactorizePlan):
     return {
         "levels": levels,
         "init_map": jnp.asarray(plan.init_map.astype(np.int32)),
+        "slot_row": jnp.asarray(plan.slot_row.astype(np.int32)),
+        "slot_col": jnp.asarray(plan.slot_col.astype(np.int32)),
+        "diag_map": jnp.asarray(plan.diag_map.astype(np.int32)),
         "perm": jnp.asarray(plan.perm.astype(np.int32)),
         "iperm": jnp.asarray(plan.iperm.astype(np.int32)),
     }
@@ -152,15 +155,30 @@ def _panel_factor(P, w_pad, backend: str):
 # Factorization driver
 
 
-def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str):
-    """Pure jittable numeric factorization. Returns (Lx_ext, minpiv_flat).
+def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str,
+                    scale: bool = False):
+    """Pure jittable numeric factorization.
+    Returns (Lx_ext, minpiv_flat, d) where d is the symmetric Jacobi
+    equilibration vector (ones when ``scale`` is off): the factor stored is
+    of D A D with D = diag(d), d_i = 1/sqrt(a_ii).  Equilibration keeps
+    ill-scaled matrices (the SuiteSparse bcsstk/bus families) factorizable
+    in fp32 on the MXU — a capability fp64-only CPU codes like the
+    reference never needed.
 
     Lx_ext has N_L + 1 slots; the last permanently holds 1.0 (gather target
     for padded diagonal positions).
     """
     init_map = arrays["init_map"]
-    Ax = Ax.astype(dtype)
-    vals = jnp.where(init_map >= 0, Ax[jnp.clip(init_map, 0)], 0).astype(dtype)
+    Ax = Ax.astype(jnp.result_type(Ax.dtype))
+    vals64 = jnp.where(init_map >= 0, Ax[jnp.clip(init_map, 0)], 0)
+    if scale:
+        diag = Ax[arrays["diag_map"]]
+        d = jax.lax.rsqrt(jnp.abs(diag))
+        vals64 = vals64 * d[arrays["slot_row"]] * d[arrays["slot_col"]]
+        d = d.astype(dtype)
+    else:
+        d = jnp.ones((arrays["diag_map"].shape[0],), dtype=dtype)
+    vals = vals64.astype(dtype)
     Lx = jnp.concatenate([vals, jnp.ones((1,), dtype=dtype)])
 
     minpivs = []
@@ -185,12 +203,21 @@ def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str):
     minpiv_flat = (
         jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
     )
-    return Lx, minpiv_flat
+    return Lx, minpiv_flat, d
 
 
-@functools.partial(jax.jit, static_argnames=("N_L", "dtype", "backend"))
-def _factorize_jit(arrays, Ax, N_L, dtype, backend):
-    return _factorize_impl(arrays, Ax, N_L=N_L, dtype=dtype, backend=backend)
+@functools.partial(
+    jax.jit, static_argnames=("N_L", "dtype", "backend", "scale")
+)
+def _factorize_jit(arrays, Ax, N_L, dtype, backend, scale):
+    # TPU matmuls default to bfloat16 passes; the SYRK / dense-cholesky /
+    # triangular-solve chain needs true fp32 accumulation or equilibrated
+    # fp32 factorizations lose ~3 decimal digits and ill-conditioned
+    # matrices go non-PD.
+    with jax.default_matmul_precision("highest"):
+        return _factorize_impl(
+            arrays, Ax, N_L=N_L, dtype=dtype, backend=backend, scale=scale
+        )
 
 
 def factorize(
@@ -199,20 +226,22 @@ def factorize(
     *,
     arrays=None,
     backend: str = "xla",
+    scale: bool = False,
     check: bool = True,
 ):
     """Numeric factorization of the matrix whose values are Ax (on the
     pattern/permutation the plan was compiled for).
 
-    Returns the block-store factor Lx_ext (device array, N_L + 1 slots).
+    Returns (Lx_ext, d): the block-store factor (N_L + 1 slots) of
+    D A D and the equilibration vector d (ones when scale is off).
     Raises NotPositiveDefiniteError (with supernode id / column range /
     pivot) if ``check`` and a non-positive pivot occurred.
     """
     if arrays is None:
         arrays = device_arrays(plan)
     dtype = jnp.dtype(plan.dtype)
-    Lx, minpiv = _factorize_jit(
-        arrays, jnp.asarray(Ax), plan.N_L, dtype, backend
+    Lx, minpiv, d = _factorize_jit(
+        arrays, jnp.asarray(Ax), plan.N_L, dtype, backend, scale
     )
     if check:
         mp = np.asarray(minpiv)
@@ -227,7 +256,7 @@ def factorize(
                 column_range=(int(plan.S.sn_ptr[s]), int(plan.S.sn_ptr[s + 1])),
                 pivot=float(mp[bad]),
             )
-    return Lx
+    return Lx, d
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,9 @@ class FactorizePlan:
     block_w: np.ndarray       # int64[ns]
     block_m: np.ndarray       # int64[ns]
     init_map: np.ndarray      # int32[N_L] -> index into original Ax / -1
+    slot_row: np.ndarray      # int32[N_L] global (permuted) row of each slot
+    slot_col: np.ndarray      # int32[N_L] global (permuted) col of each slot
+    diag_map: np.ndarray      # int32[n] -> index of A(i,i) in original Ax
     levels: list[list[Bucket]]
     dtype: np.dtype
 
@@ -226,6 +229,8 @@ def compile_plan(
     # key = hi*n + lo is globally sorted and one searchsorted resolves all
     # slots at once.
     init_map = np.full(N_L, -1, dtype=np.int64)
+    slot_row = np.zeros(N_L, dtype=np.int64)
+    slot_col = np.zeros(N_L, dtype=np.int64)
     entry_keys = pAi.astype(np.int64)  # lo (row within upper column)
     # recover the column (hi) of each entry from pAp
     entry_cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(pAp))
@@ -240,9 +245,12 @@ def compile_plan(
         for j in range(w):
             gcol = c0 + j
             i = np.arange(j, m)  # rows[:w] == columns, so rows[j] == gcol
+            slots = off + i * w + j
+            slot_row[slots] = rows[i]
+            slot_col[slots] = gcol
             # entry (gcol, rows[i]) lives in permuted-upper column rows[i]
             q_keys.append(rows[i] * n + gcol)
-            q_slots.append(off + i * w + j)
+            q_slots.append(slots)
     if q_keys:
         q_keys = np.concatenate(q_keys)
         q_slots = np.concatenate(q_slots)
@@ -250,6 +258,15 @@ def compile_plan(
         pos_c = np.minimum(pos, max(len(entry_keys) - 1, 0))
         hit = (len(entry_keys) > 0) & (entry_keys[pos_c] == q_keys)
         init_map[q_slots[hit]] = pAe[pos_c[hit]]
+
+    # diagonal entry index of each permuted column in the ORIGINAL Ax
+    # (permuted-upper diagonal entries have lo == hi == j)
+    diag_map = np.full(n, -1, dtype=np.int64)
+    dkeys = np.arange(n, dtype=np.int64) * (n + 1)  # j*n + j
+    dpos = np.searchsorted(entry_keys, dkeys)
+    dpos_c = np.minimum(dpos, max(len(entry_keys) - 1, 0))
+    dhit = (len(entry_keys) > 0) & (entry_keys[dpos_c] == dkeys)
+    diag_map[dhit] = pAe[dpos_c[dhit]]
 
     # ---- per-level buckets ---------------------------------------------
     sn_of_col = S.sn_id
@@ -279,6 +296,9 @@ def compile_plan(
         block_w=block_w,
         block_m=block_m,
         init_map=init_map,
+        slot_row=slot_row,
+        slot_col=slot_col,
+        diag_map=diag_map,
         levels=levels_out,
         dtype=np.dtype(dtype or A.data.dtype),
     )

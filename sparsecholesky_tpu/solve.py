@@ -36,12 +36,13 @@ def _gather_panels(Lx, b):
     return jnp.take(Lx, b.gather_idx, mode="fill", fill_value=0)
 
 
-def _solve_impl(arrays, Lx, rhs, *, n: int, dtype):
-    """Pure jittable solve of (P A P^T) = L L^T for one right-hand side in
-    ORIGINAL index order: applies perm, solves, applies iperm."""
+def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype):
+    """Pure jittable solve of A x = rhs for one right-hand side in ORIGINAL
+    index order: applies perm and the equilibration d (the stored factor is
+    of D (P A P^T) D, so x = P^T D L^-T L^-1 D P rhs), then iperm."""
     perm = arrays["perm"]
     rhs = rhs.astype(dtype)
-    y = rhs[perm]  # permuted RHS
+    y = rhs[perm] * d  # permuted + equilibrated RHS
 
     # ---- forward: L y = b ----
     for buckets in arrays["levels"]:
@@ -92,20 +93,23 @@ def _solve_impl(arrays, Lx, rhs, *, n: int, dtype):
         for idx, z in col_updates:
             x = x.at[idx].set(z, mode="drop")
 
+    x = x * d
     return x[arrays["iperm"]]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "dtype"))
-def _solve_jit(arrays, Lx, rhs, n, dtype):
-    return _solve_impl(arrays, Lx, rhs, n=n, dtype=dtype)
+def _solve_jit(arrays, Lx, rhs, d, n, dtype):
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(arrays, Lx, rhs, d, n=n, dtype=dtype)
 
 
-def solve(plan: FactorizePlan, Lx, rhs, *, arrays=None):
+def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None):
     """Solve A x = rhs given the factor block-store Lx (from factorize)."""
     from .numeric import device_arrays
 
     if arrays is None:
         arrays = device_arrays(plan)
-    return _solve_jit(
-        arrays, Lx, jnp.asarray(rhs), plan.n, jnp.dtype(plan.dtype)
-    )
+    dtype = jnp.dtype(plan.dtype)
+    if d is None:
+        d = jnp.ones((plan.n,), dtype=dtype)
+    return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, plan.n, dtype)

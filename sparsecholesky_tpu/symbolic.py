@@ -507,7 +507,12 @@ def analyze(
         Lp, Li = symbolic_pattern(A, parent, counts)
 
     sn_ptr, _ = fundamental_supernodes(Lp, parent)
-    rows = supernode_rows(Lp, Li, sn_ptr)
+    try:
+        from . import _native
+
+        rows = _native.supernode_rows(Lp, Li, sn_ptr, A.n)
+    except Exception:
+        rows = supernode_rows(Lp, Li, sn_ptr)
     if amalgamation:
         sn_ptr, rows = amalgamate(
             sn_ptr, rows, parent,

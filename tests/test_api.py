@@ -1,0 +1,82 @@
+"""High-level API tests: equilibration, iterative refinement, fp32 path."""
+
+import numpy as np
+import pytest
+
+import sparsecholesky_tpu as sc
+from sparsecholesky_tpu.api import chol
+
+
+def test_scaled_factor_matches_unscaled_L(bcsstk01):
+    """L() must export the factor of P A P^T regardless of equilibration."""
+    F0 = chol(bcsstk01, scale=False)
+    F1 = chol(bcsstk01, scale=True)
+    L0 = np.tril(F0.L().to_dense())
+    L1 = np.tril(F1.L().to_dense())
+    np.testing.assert_allclose(L1, L0, rtol=1e-10, atol=1e-10 * np.abs(L0).max())
+
+
+def test_scaled_solve(bus1138):
+    F = chol(bus1138, ordering="amd", scale=True)
+    b = np.linspace(-1, 1, bus1138.n)
+    x = F.solve(b)
+    r = np.linalg.norm(bus1138.to_scipy() @ x - b) / np.linalg.norm(b)
+    assert r < 1e-8
+
+
+def test_scaled_logdet_diag(bcsstk01):
+    F0 = chol(bcsstk01, scale=False)
+    F1 = chol(bcsstk01, scale=True)
+    assert F1.log_det() == pytest.approx(F0.log_det(), rel=1e-10)
+    np.testing.assert_allclose(F1.diag(), F0.diag(), rtol=1e-10)
+
+
+def _backward_error(Asp, x, b):
+    nrmA = np.abs(Asp).sum(axis=1).max()
+    x = np.asarray(x, np.float64)
+    return np.linalg.norm(Asp @ x - b) / (
+        nrmA * np.linalg.norm(x) + np.linalg.norm(b)
+    )
+
+
+def test_fp32_scaled_1138bus_with_refinement(bus1138):
+    """The TPU-production path: fp32 factor + equilibration + iterative
+    refinement recovers fp64-class backward error (cond(A) ~ 1e7)."""
+    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    b = np.linspace(1, 2, bus1138.n)
+    Asp = bus1138.to_scipy()
+    be0 = _backward_error(Asp, F.solve(b), b)
+    be2 = _backward_error(Asp, F.solve(b, refine="auto"), b)
+    assert be2 < 1e-14          # fp64-class backward error from fp32 factor
+    assert be2 < be0 * 1e-3     # refinement actually helped
+
+
+def test_fp32_unscaled_1138bus_degrades(bus1138):
+    """Unscaled fp32 on this ill-scaled matrix either fails outright or
+    produces a factor orders of magnitude less accurate than the scaled
+    one (which lands near eps_f32)."""
+    try:
+        F = chol(bus1138, ordering="amd", dtype=np.float32, scale=False)
+    except sc.NotPositiveDefiniteError:
+        return
+    b = np.linspace(1, 2, bus1138.n)
+    be = _backward_error(bus1138.to_scipy(), F.solve(b), b)
+    Fs = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    be_s = _backward_error(bus1138.to_scipy(), Fs.solve(b), b)
+    assert be_s < be
+
+
+def test_refine_requires_matrix(bcsstk01):
+    F = chol(bcsstk01)
+    F_detached = F.__class__(F.plan, F.arrays, F.Lx, F.d, A=None)
+    with pytest.raises(ValueError):
+        F_detached.solve(np.ones(bcsstk01.n), refine=1)
+
+
+def test_refactorize_keeps_scaling_and_matrix(bus1138):
+    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    F2 = F.refactorize(bus1138.data * 2.0)
+    b = np.ones(bus1138.n)
+    x = F2.solve(b, refine="auto")  # refinement must use the UPDATED matrix
+    be = _backward_error(2.0 * bus1138.to_scipy(), x, b)
+    assert be < 1e-14

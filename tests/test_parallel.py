@@ -1,0 +1,69 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import sparsecholesky_tpu as sc
+from sparsecholesky_tpu.api import chol
+from sparsecholesky_tpu.models import generators
+from sparsecholesky_tpu.parallel import shard
+from sparsecholesky_tpu.plan import compile_plan
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    return shard.make_mesh(8)
+
+
+def _check_sharded(A, mesh, **kw):
+    plan = compile_plan(A)
+    Lx, d = shard.factorize_sharded(plan, A.data, mesh, **kw)
+    from sparsecholesky_tpu import numeric
+
+    Lx1, d1 = numeric.factorize(plan, A.data, **{k: v for k, v in kw.items() if k == "scale"})
+    np.testing.assert_allclose(
+        np.asarray(Lx), np.asarray(Lx1), atol=1e-11 * max(1.0, float(np.abs(np.asarray(Lx1)).max()))
+    )
+    return plan, Lx, d
+
+
+def test_sharded_matches_single_bcsstk01(bcsstk01, mesh8):
+    _check_sharded(bcsstk01, mesh8)
+
+
+def test_sharded_matches_single_random(mesh8):
+    A = generators.random_sparse(120, 0.15, seed=11)
+    _check_sharded(A, mesh8)
+
+
+def test_sharded_solve(bus1138, mesh8):
+    from sparsecholesky_tpu import solve as _solve
+
+    plan = compile_plan(bus1138)
+    Lx, d = shard.factorize_sharded(plan, bus1138.data, mesh8)
+    b = np.linspace(1, 2, bus1138.n)
+    x = np.asarray(_solve.solve(plan, Lx, b, d=d))
+    r = np.linalg.norm(bus1138.to_scipy() @ x - b) / np.linalg.norm(b)
+    assert r < 1e-8
+
+
+def test_sharded_scaled(mesh8):
+    A = generators.random_sparse(80, 0.25, seed=3)
+    plan, Lx, d = _check_sharded(A, mesh8, scale=True)
+    assert not np.allclose(np.asarray(d), 1.0)
+
+
+def test_sharded_nondivisible_devices(bcsstk01):
+    # 3 devices: batches not divisible -> dead-lane padding path
+    mesh = shard.make_mesh(3)
+    _check_sharded(bcsstk01, mesh)
+
+
+def test_sharded_non_pd(mesh8):
+    A = sc.triplet_to_csc([0, 0, 1], [0, 1, 1], [1.0, 9.0, 1.0], 2)
+    plan = compile_plan(A)
+    with pytest.raises(sc.NotPositiveDefiniteError):
+        shard.factorize_sharded(plan, A.data, mesh8)
