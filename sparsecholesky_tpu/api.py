@@ -43,6 +43,16 @@ class CholeskyFactor:
     A: CSCMatrix | None = None  # original matrix (for refinement residuals)
     backend: str = "xla"
     scaled: bool = False
+    _linv: object = None  # lazy diagonal-block inverses (solve fast path)
+
+    def _diag_inv(self):
+        if self._linv is None:
+            import jax.numpy as jnp
+
+            self._linv = _numeric.diag_inverses(
+                self.arrays, self.Lx, jnp.dtype(self.plan.dtype)
+            )
+        return self._linv
 
     def solve(self, rhs, *, refine: int = 0) -> np.ndarray:
         """Solve A x = rhs (rhs in original index order).
@@ -53,8 +63,10 @@ class CholeskyFactor:
         factor.  Requires the factor to have been built via chol() (which
         retains A).
         """
+        linv = self._diag_inv()
         x = np.asarray(
-            _solve.solve(self.plan, self.Lx, rhs, d=self.d, arrays=self.arrays)
+            _solve.solve(self.plan, self.Lx, rhs, d=self.d,
+                         arrays=self.arrays, linv=linv)
         )
         if refine:
             if self.A is None:
@@ -72,7 +84,8 @@ class CholeskyFactor:
                 rnorm_prev = rnorm
                 dx = np.asarray(
                     _solve.solve(
-                        self.plan, self.Lx, r, d=self.d, arrays=self.arrays
+                        self.plan, self.Lx, r, d=self.d, arrays=self.arrays,
+                        linv=linv,
                     )
                 )
                 x = x + dx
@@ -123,7 +136,7 @@ class CholeskyFactor:
                 self.A.n, self.A.indptr, self.A.indices,
                 np.asarray(Ax), sym=self.A.sym,
             )
-        return dataclasses.replace(self, Lx=Lx, d=d, A=newA)
+        return dataclasses.replace(self, Lx=Lx, d=d, A=newA, _linv=None)
 
     @property
     def perm(self) -> np.ndarray:

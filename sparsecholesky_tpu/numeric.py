@@ -143,11 +143,42 @@ def _panel_factor_xla(P: jax.Array, w_pad: int):
     return L, minpiv
 
 
+def _panel_factor_fused(P: jax.Array, w_pad: int):
+    """Fused panel LLT+TRSM as one batched XLA fori_loop (the same
+    tall-panel right-looking column algorithm as the Pallas kernel in
+    ops/panel_chol.py, expressed on values).  One while-loop per bucket
+    instead of XLA's cholesky loop + triangular-solve loop, and the below
+    block is eliminated in the same pass.
+    """
+    B, m_pad, w = P.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_pad), 2)
+
+    def body(j, carry):
+        A, minpiv = carry
+        colj = jax.lax.dynamic_slice(A, (0, 0, j), (B, m_pad, 1))   # [B,m,1]
+        piv = jax.lax.dynamic_slice(colj, (0, j, 0), (B, 1, 1))     # [B,1,1]
+        minpiv = jnp.minimum(minpiv, piv[:, 0, 0])
+        inv = jax.lax.rsqrt(jnp.where(piv > 0, piv, 1.0))
+        Lcol = colj * inv                                           # [B,m,1]
+        u = jnp.swapaxes(Lcol[:, :w_pad, :], 1, 2)                  # [B,1,w]
+        mask = (col_ids > j).astype(A.dtype)
+        A = A - Lcol * (u * mask)                                   # rank-1
+        A = jax.lax.dynamic_update_slice(A, Lcol, (0, 0, j))
+        return A, minpiv
+
+    A, minpiv = jax.lax.fori_loop(
+        0, w_pad, body, (P, jnp.full((B,), jnp.inf, P.dtype))
+    )
+    return A, minpiv
+
+
 def _panel_factor(P, w_pad, backend: str):
     if backend == "pallas":
         from .ops.panel_chol import panel_cholesky
 
         return panel_cholesky(P, w_pad)
+    if backend == "fused":
+        return _panel_factor_fused(P, w_pad)
     return _panel_factor_xla(P, w_pad)
 
 
@@ -266,3 +297,35 @@ def factorize(
 
 def refactorize(plan: FactorizePlan, Ax, arrays, **kw):
     return factorize(plan, Ax, arrays=arrays, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-block inverses: one-time cost that turns every SpTRSV level into
+# pure MXU matmuls (no loop-lowered triangular solves on the hot path).
+
+
+def _diag_inverses_impl(arrays, Lx, *, dtype):
+    out = []
+    for buckets in arrays["levels"]:
+        bl = []
+        for b in buckets:
+            w_pad = b.gather_idx.shape[2]
+            P11 = jnp.take(
+                Lx, b.gather_idx[:, :w_pad, :], mode="fill", fill_value=0
+            )
+            L11 = jnp.tril(P11)
+            eye = jnp.broadcast_to(
+                jnp.eye(w_pad, dtype=dtype), P11.shape
+            )
+            inv = jax.lax.linalg.triangular_solve(
+                L11, eye, left_side=True, lower=True
+            )
+            bl.append(inv)
+        out.append(bl)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def diag_inverses(arrays, Lx, dtype):
+    with jax.default_matmul_precision("highest"):
+        return _diag_inverses_impl(arrays, Lx, dtype=dtype)

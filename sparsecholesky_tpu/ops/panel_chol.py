@@ -33,28 +33,57 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _panel_kernel(p_ref, l_ref, piv_ref, *, w_pad: int, m_pad: int):
-    A0 = p_ref[0]
+def _panel_kernel(p_ref, l_ref, *, w_pad: int, m_pad: int):
+    # Mosaic cannot dynamic-slice register values, so the working panel
+    # lives in the output VMEM ref and per-column access goes through
+    # ref indexing with pl.ds.
+    l_ref[0] = p_ref[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w_pad), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
 
-    def body(j, carry):
-        A, minpiv = carry
-        colj = jax.lax.dynamic_slice(A, (0, j), (m_pad, 1))        # [m, 1]
-        piv = jax.lax.dynamic_slice(colj, (j, 0), (1, 1))[0, 0]
+    def body(j, minpiv):
+        piv = l_ref[0, pl.ds(j, 1), pl.ds(j, 1)][0, 0]
         minpiv = jnp.minimum(minpiv, piv)
         inv = jax.lax.rsqrt(jnp.where(piv > 0, piv, 1.0))
-        Lcol = colj * inv                                           # [m, 1]
-        u = jax.lax.slice(Lcol, (0, 0), (w_pad, 1))                 # [w, 1]
-        mask = (col_ids > j).astype(A.dtype)                        # [1, w]
-        A = A - Lcol * (jnp.transpose(u) * mask)                    # rank-1
-        A = jax.lax.dynamic_update_slice(A, Lcol, (0, j))
-        return A, minpiv
+        colj = l_ref[0, :, pl.ds(j, 1)]                             # [m, 1]
+        Lcol = colj * inv
+        # the rank-1 multiplier row: u[0, k] = Lcol[k] for k < w_pad.
+        # Mosaic handles a (m,1)->(1,m) transpose poorly; build the row by
+        # a masked all-to-all broadcast instead: (1,w) = sum_i Lcol[i] δ_{ik}
+        u_row = _column_to_row(Lcol, w_pad, m_pad)
+        mask = (col_ids > j).astype(Lcol.dtype)                     # [1, w]
+        l_ref[0] = l_ref[0] - Lcol * (u_row * mask)                 # rank-1
+        l_ref[0, :, pl.ds(j, 1)] = Lcol
+        return minpiv
 
-    A, minpiv = jax.lax.fori_loop(
-        0, w_pad, body, (A0, jnp.asarray(jnp.inf, A0.dtype))
+    minpiv = jax.lax.fori_loop(
+        0, w_pad, body, jnp.asarray(jnp.inf, p_ref.dtype)
     )
-    l_ref[0] = A
-    piv_ref[0, 0] = minpiv
+    # Stash minpiv in a structurally dead slot of the panel: (row 0,
+    # col w_pad-1) is in the strict upper triangle of the diagonal block,
+    # which the plan's scatter map always drops.  (Mosaic cannot store
+    # scalars to VMEM and SMEM outputs have blocking restrictions, so a
+    # separate scalar output is not practical.)
+    row0 = l_ref[0, 0:1, :]
+    l_ref[0, 0:1, :] = jnp.where(col_ids == w_pad - 1, minpiv, row0)
+
+
+def _column_to_row(col, w_pad: int, m_pad: int):
+    """(m_pad, 1) column -> (1, w_pad) row holding col[:w_pad].
+
+    Lowered as a tiny MXU matmul with a one-hot matrix: row = colᵀ · I is
+    exactly dot(I_wm, col)ᵀ; we use dot_general contracting the m axis:
+    row[0, k] = sum_i onehot[i, k] * col[i, 0].
+    """
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (m_pad, w_pad), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (m_pad, w_pad), 1)
+    ).astype(col.dtype)
+    return jax.lax.dot_general(
+        col, onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=col.dtype,
+    )  # [1, w_pad]
 
 
 @functools.partial(jax.jit, static_argnames=("w_pad", "interpret"))
@@ -71,7 +100,7 @@ def panel_cholesky(P: jax.Array, w_pad: int, *, interpret: bool | None = None):
 
     kernel = functools.partial(_panel_kernel, w_pad=w_pad, m_pad=m_pad)
     flops = B * (w_pad * w_pad * (w_pad // 3 + (m_pad - w_pad)))
-    L, piv = pl.pallas_call(
+    L = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -79,16 +108,10 @@ def panel_cholesky(P: jax.Array, w_pad: int, *, interpret: bool | None = None):
                 (1, m_pad, w_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             )
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, m_pad, w_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, m_pad, w_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct(P.shape, P.dtype),
-            jax.ShapeDtypeStruct((B, 1), P.dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * P.size * P.dtype.itemsize,
@@ -96,4 +119,4 @@ def panel_cholesky(P: jax.Array, w_pad: int, *, interpret: bool | None = None):
         ),
         interpret=interpret,
     )(P)
-    return L, piv[:, 0]
+    return L, L[:, 0, w_pad - 1]

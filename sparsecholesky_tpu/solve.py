@@ -36,31 +36,41 @@ def _gather_panels(Lx, b):
     return jnp.take(Lx, b.gather_idx, mode="fill", fill_value=0)
 
 
-def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype):
+def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype, linv=None):
     """Pure jittable solve of A x = rhs for one right-hand side in ORIGINAL
     index order: applies perm and the equilibration d (the stored factor is
-    of D (P A P^T) D, so x = P^T D L^-T L^-1 D P rhs), then iperm."""
+    of D (P A P^T) D, so x = P^T D L^-T L^-1 D P rhs), then iperm.
+
+    ``linv`` (nested per-level/bucket list from numeric.diag_inverses)
+    replaces the loop-lowered triangular solves with batched MXU matmuls.
+    """
     perm = arrays["perm"]
     rhs = rhs.astype(dtype)
     y = rhs[perm] * d  # permuted + equilibrated RHS
 
+    def _lsolve(D, t, transpose):
+        if linv is not None:
+            eq = "bji,bj->bi" if transpose else "bij,bj->bi"
+            return jnp.einsum(eq, D, t, preferred_element_type=dtype)
+        return jax.lax.linalg.triangular_solve(
+            D, t[..., None], left_side=True, lower=True, transpose_a=transpose
+        )[..., 0]
+
     # ---- forward: L y = b ----
-    for buckets in arrays["levels"]:
+    for li, buckets in enumerate(arrays["levels"]):
         col_updates = []
         below_updates = []
-        for b in buckets:
+        for lb, b in enumerate(buckets):
             w_pad = b.gather_idx.shape[2]
             P = _gather_panels(Lx, b)
-            L11 = jnp.tril(P[:, :w_pad, :])
+            D = linv[li][lb] if linv is not None else jnp.tril(P[:, :w_pad, :])
             cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
-            ycols = jnp.take(y, cidx, mode="fill", fill_value=0)[..., None]
-            z = jax.lax.linalg.triangular_solve(
-                L11, ycols, left_side=True, lower=True
-            )
-            col_updates.append((cidx, z[..., 0]))
+            ycols = jnp.take(y, cidx, mode="fill", fill_value=0)
+            z = _lsolve(D, ycols, transpose=False)
+            col_updates.append((cidx, z))
             if b.below_idx.shape[1]:
                 L21 = P[:, w_pad:, :]
-                u = jnp.einsum("bij,bj->bi", L21, z[..., 0],
+                u = jnp.einsum("bij,bj->bi", L21, z,
                                preferred_element_type=dtype)
                 below_updates.append((jnp.where(b.below_idx < 0, n, b.below_idx), u))
         # batched commit: cols are disjoint within a level; below-updates
@@ -72,12 +82,14 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype):
 
     # ---- backward: L^T x = y ----
     x = y
-    for buckets in reversed(arrays["levels"]):
+    nlev = len(arrays["levels"])
+    for li in range(nlev - 1, -1, -1):
+        buckets = arrays["levels"][li]
         col_updates = []
-        for b in buckets:
+        for lb, b in enumerate(buckets):
             w_pad = b.gather_idx.shape[2]
             P = _gather_panels(Lx, b)
-            L11 = jnp.tril(P[:, :w_pad, :])
+            D = linv[li][lb] if linv is not None else jnp.tril(P[:, :w_pad, :])
             cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
             t = jnp.take(x, cidx, mode="fill", fill_value=0)
             if b.below_idx.shape[1]:
@@ -86,10 +98,8 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype):
                 xb = jnp.take(x, bidx, mode="fill", fill_value=0)
                 t = t - jnp.einsum("bij,bi->bj", L21, xb,
                                    preferred_element_type=dtype)
-            z = jax.lax.linalg.triangular_solve(
-                L11, t[..., None], left_side=True, lower=True, transpose_a=True
-            )
-            col_updates.append((cidx, z[..., 0]))
+            z = _lsolve(D, t, transpose=True)
+            col_updates.append((cidx, z))
         for idx, z in col_updates:
             x = x.at[idx].set(z, mode="drop")
 
@@ -98,13 +108,16 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "dtype"))
-def _solve_jit(arrays, Lx, rhs, d, n, dtype):
+def _solve_jit(arrays, Lx, rhs, d, linv, n, dtype):
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(arrays, Lx, rhs, d, n=n, dtype=dtype)
+        return _solve_impl(arrays, Lx, rhs, d, n=n, dtype=dtype, linv=linv)
 
 
-def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None):
-    """Solve A x = rhs given the factor block-store Lx (from factorize)."""
+def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None, linv=None):
+    """Solve A x = rhs given the factor block-store Lx (from factorize).
+
+    Pass ``linv`` (numeric.diag_inverses) for the loop-free MXU fast path.
+    """
     from .numeric import device_arrays
 
     if arrays is None:
@@ -112,4 +125,4 @@ def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None):
     dtype = jnp.dtype(plan.dtype)
     if d is None:
         d = jnp.ones((plan.n,), dtype=dtype)
-    return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, plan.n, dtype)
+    return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, linv, plan.n, dtype)

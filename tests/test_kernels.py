@@ -60,10 +60,11 @@ def test_full_factorization_pallas_backend(bcsstk01):
     assert rel < 1e-12
 
 
-def test_pallas_matches_xla_backend():
+@pytest.mark.parametrize("backend", ["pallas", "fused"])
+def test_backends_match_xla(backend):
     A = generators.random_sparse(80, 0.2, seed=5)
     Fx = chol(A, backend="xla")
-    Fp = chol(A, backend="pallas")
+    Fp = chol(A, backend=backend)
     np.testing.assert_allclose(
         np.asarray(Fp.Lx), np.asarray(Fx.Lx), atol=1e-11
     )
