@@ -15,7 +15,9 @@
 // Input is the canonical upper-triangle CSC pattern (int64 colptr Ap,
 // int32 row indices Ai).  Output pattern is lower CSC, columns sorted.
 
+#include <algorithm>
 #include <cstdint>
+#include <iterator>
 #include <vector>
 
 extern "C" {
@@ -219,6 +221,196 @@ int64_t sct_supernode_rows(int64_t n, const int64_t* Lp, const int32_t* Li,
     }
     offsets_out[ns] = out;
     return out;
+}
+
+// ---------------------------------------------------------------------------
+// One-shot supernodal analysis: etree + postorder + counts + fundamental
+// supernodes + supernodal row sets + relaxed amalgamation, WITHOUT ever
+// materializing the strict pattern of L (whose O(nnz(L)) random-scatter
+// fill dominates host time for large matrices).
+//
+// Key structure fact used: for a fundamental supernode (column-replication
+// test, /root/reference/src/chol.cpp:42-100), the row set of the supernode
+// equals the pattern of its leading column, and the pattern of its LAST
+// column x is {x} ∪ below(s).  Fill propagation along the elimination tree
+// (pattern(parent[x]) ⊇ pattern(x) \ {x}) therefore reduces to: each
+// supernode's row set = own columns ∪ A-rows of its columns ∪ below-rows of
+// its assembly-tree children — O(supernodal nnz) total.
+
+struct sct_result {
+    int64_t n, ns, total_rows;
+    int32_t* parent;
+    int32_t* post;
+    int64_t* counts;
+    int64_t* sn_ptr;    // ns+1
+    int64_t* row_off;   // ns+1
+    int32_t* rows;      // total_rows
+};
+
+sct_result* sct_supernodal_analyze(int64_t n, const int64_t* Ap,
+                                   const int32_t* Ai, double relax_ratio,
+                                   int64_t small_sn, int64_t max_width,
+                                   double small_ratio) {
+    auto* res = new sct_result();
+    res->n = n;
+    res->parent = new int32_t[n];
+    res->post = new int32_t[n];
+    res->counts = new int64_t[n];
+    {
+        std::vector<int32_t> ws1(n), ws2(n), ws3(n);
+        etree_impl(n, Ap, Ai, res->parent, ws1);
+        post_order_impl(n, res->parent, res->post, ws1, ws2, ws3);
+        col_count_impl(n, Ap, Ai, res->parent, res->post, res->counts);
+    }
+    const int32_t* parent = res->parent;
+    const int64_t* counts = res->counts;
+
+    // fundamental supernodes from (parent, counts) alone
+    std::vector<int64_t> fptr;
+    fptr.push_back(0);
+    for (int64_t j = 1; j < n; ++j)
+        if (!(parent[j - 1] == (int32_t)j && counts[j] == counts[j - 1] - 1))
+            fptr.push_back(j);
+    fptr.push_back(n);
+    int64_t nf = (int64_t)fptr.size() - 1;
+    std::vector<int32_t> fid(n);
+    for (int64_t s = 0; s < nf; ++s)
+        for (int64_t j = fptr[s]; j < fptr[s + 1]; ++j) fid[j] = (int32_t)s;
+
+    // structural transpose of the upper pattern: per column j, the rows r>j
+    // with A(j, r) != 0 (i.e. the lower pattern of column j)
+    std::vector<int64_t> ATp(n + 1, 0);
+    std::vector<int32_t> ATi(Ap[n]);
+    for (int64_t p = 0; p < Ap[n]; ++p) ATp[Ai[p] + 1]++;
+    for (int64_t j = 0; j < n; ++j) ATp[j + 1] += ATp[j];
+    {
+        std::vector<int64_t> cur(ATp.begin(), ATp.end() - 1);
+        for (int64_t j = 0; j < n; ++j)
+            for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p)
+                ATi[cur[Ai[p]]++] = (int32_t)j;
+    }
+
+    // child-propagation row sets over fundamental supernodes
+    std::vector<std::vector<int32_t>> srows(nf);
+    std::vector<int32_t> chead(nf, -1), cnext(nf, -1);  // child lists
+    std::vector<int32_t> mark(n, -1);
+    for (int64_t s = 0; s < nf; ++s) {
+        int64_t c0 = fptr[s], c1 = fptr[s + 1];
+        auto& out = srows[s];
+        out.reserve((size_t)(c1 - c0) + 8);
+        for (int64_t j = c0; j < c1; ++j) {
+            mark[j] = (int32_t)s;
+            out.push_back((int32_t)j);
+        }
+        size_t tail = out.size();
+        for (int64_t j = c0; j < c1; ++j)
+            for (int64_t p = ATp[j]; p < ATp[j + 1]; ++p) {
+                int32_t r = ATi[p];
+                if (r >= (int32_t)c1 && mark[r] != (int32_t)s) {
+                    mark[r] = (int32_t)s;
+                    out.push_back(r);
+                }
+            }
+        for (int32_t c = chead[s]; c != -1; c = cnext[c]) {
+            int64_t cw = fptr[c + 1] - fptr[c];
+            const auto& crows = srows[c];
+            for (size_t t = (size_t)cw; t < crows.size(); ++t) {
+                int32_t r = crows[t];
+                if (r >= (int32_t)c1 && mark[r] != (int32_t)s) {
+                    mark[r] = (int32_t)s;
+                    out.push_back(r);
+                }
+            }
+        }
+        std::sort(out.begin() + tail, out.end());
+        if (out.size() > (size_t)(c1 - c0)) {
+            int32_t t = fid[out[c1 - c0]];  // owner of first below row
+            cnext[s] = chead[t];
+            chead[t] = (int32_t)s;
+        }
+    }
+
+    // relaxed amalgamation (same greedy rule as symbolic.amalgamate):
+    // merge s with its successor while columns are etree-linked and the
+    // introduced explicit-zero fraction stays bounded.
+    // Single accumulator pass (equivalent to repeatedly merging a segment
+    // with its successor): absorb successors into the current segment while
+    // the rule allows, else emit and restart from the successor.
+    std::vector<int64_t> mstart, mend;
+    std::vector<std::vector<int32_t>> mrows;
+    std::vector<int32_t> tmp;
+    if (nf > 0) {
+        int64_t cur0 = fptr[0], cur1 = fptr[1];
+        std::vector<int32_t> currows = std::move(srows[0]);
+        for (int64_t s = 1; s < nf; ++s) {
+            int64_t b1 = fptr[s + 1];
+            bool merged = false;
+            if (parent[cur1 - 1] == (int32_t)cur1) {
+                int64_t wa = cur1 - cur0, wb = b1 - cur1, wn = wa + wb;
+                if (wn <= max_width) {
+                    const auto& rb = srows[s];
+                    tmp.clear();
+                    tmp.reserve(currows.size() + rb.size());
+                    std::set_union(currows.begin(), currows.end(),
+                                   rb.begin(), rb.end(),
+                                   std::back_inserter(tmp));
+                    double nz_old = (double)wa * currows.size() +
+                                    (double)wb * rb.size();
+                    double nz_new = (double)wn * tmp.size();
+                    double waste =
+                        (nz_new - nz_old) / (nz_new > 0 ? nz_new : 1);
+                    if (waste <= relax_ratio ||
+                        (wa <= small_sn && wb <= small_sn &&
+                         waste <= small_ratio)) {
+                        cur1 = b1;
+                        currows.swap(tmp);
+                        merged = true;
+                    }
+                }
+            }
+            if (!merged) {
+                mstart.push_back(cur0);
+                mend.push_back(cur1);
+                mrows.push_back(std::move(currows));
+                cur0 = fptr[s];
+                cur1 = b1;
+                currows = std::move(srows[s]);
+            }
+        }
+        mstart.push_back(cur0);
+        mend.push_back(cur1);
+        mrows.push_back(std::move(currows));
+    }
+
+    int64_t ns = (int64_t)mstart.size();
+    res->ns = ns;
+    res->sn_ptr = new int64_t[ns + 1];
+    res->row_off = new int64_t[ns + 1];
+    int64_t total = 0;
+    for (int64_t s = 0; s < ns; ++s) {
+        res->sn_ptr[s] = mstart[s];
+        res->row_off[s] = total;
+        total += (int64_t)mrows[s].size();
+    }
+    res->sn_ptr[ns] = n;
+    res->row_off[ns] = total;
+    res->total_rows = total;
+    res->rows = new int32_t[total > 0 ? total : 1];
+    for (int64_t s = 0; s < ns; ++s)
+        std::copy(mrows[s].begin(), mrows[s].end(),
+                  res->rows + res->row_off[s]);
+    return res;
+}
+
+void sct_free_result(sct_result* res) {
+    if (!res) return;
+    delete[] res->parent;
+    delete[] res->post;
+    delete[] res->counts;
+    delete[] res->sn_ptr;
+    delete[] res->row_off;
+    delete[] res->rows;
+    delete res;
 }
 
 }  // extern "C"

@@ -43,8 +43,29 @@ def _load():
     lib.sct_supernode_rows.argtypes = [
         ctypes.c_int64, i64p, i32p, ctypes.c_int64, i64p, i64p, i32p, ctypes.c_int64,
     ]
+    lib.sct_supernodal_analyze.restype = ctypes.POINTER(_SctResult)
+    lib.sct_supernodal_analyze.argtypes = [
+        ctypes.c_int64, i64p, i32p,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+    ]
+    lib.sct_free_result.restype = None
+    lib.sct_free_result.argtypes = [ctypes.POINTER(_SctResult)]
     _lib = lib
     return lib
+
+
+class _SctResult(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("ns", ctypes.c_int64),
+        ("total_rows", ctypes.c_int64),
+        ("parent", ctypes.POINTER(ctypes.c_int32)),
+        ("post", ctypes.POINTER(ctypes.c_int32)),
+        ("counts", ctypes.POINTER(ctypes.c_int64)),
+        ("sn_ptr", ctypes.POINTER(ctypes.c_int64)),
+        ("row_off", ctypes.POINTER(ctypes.c_int64)),
+        ("rows", ctypes.POINTER(ctypes.c_int32)),
+    ]
 
 
 def _p64(a):
@@ -89,3 +110,36 @@ def supernode_rows(Lp, Li, sn_ptr, n):
     if total < 0:
         raise RuntimeError("native supernode_rows capacity exceeded")
     return [rows[offsets[s] : offsets[s + 1]].astype(np.int64) for s in range(ns)]
+
+
+def supernodal_analyze(A, *, relax_ratio=0.35, small=16, max_width=128,
+                       small_ratio=0.75):
+    """One-shot native supernodal symbolic analysis (no strict-pattern fill).
+
+    Returns (parent, post, counts, sn_ptr, sn_rows) where sn_rows is the
+    list of per-supernode sorted row unions after relaxed amalgamation.
+    """
+    lib = _load()
+    n = A.n
+    Ap = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    Ai = np.ascontiguousarray(A.indices, dtype=np.int32)
+    res = lib.sct_supernodal_analyze(
+        n, _p64(Ap), _p32(Ai),
+        float(relax_ratio), int(small), int(max_width), float(small_ratio),
+    )
+    try:
+        r = res.contents
+        parent = np.ctypeslib.as_array(r.parent, (n,)).copy()
+        post = np.ctypeslib.as_array(r.post, (n,)).copy()
+        counts = np.ctypeslib.as_array(r.counts, (n,)).copy()
+        ns = int(r.ns)
+        sn_ptr = np.ctypeslib.as_array(r.sn_ptr, (ns + 1,)).copy()
+        row_off = np.ctypeslib.as_array(r.row_off, (ns + 1,)).copy()
+        rows = np.ctypeslib.as_array(r.rows, (max(int(r.total_rows), 1),))
+        sn_rows = [
+            rows[row_off[s] : row_off[s + 1]].astype(np.int64)
+            for s in range(ns)
+        ]
+    finally:
+        lib.sct_free_result(res)
+    return parent, post, counts, sn_ptr, sn_rows

@@ -50,7 +50,7 @@ class CholeskyFactor:
             import jax.numpy as jnp
 
             self._linv = _numeric.diag_inverses(
-                self.arrays, self.Lx, jnp.dtype(self.plan.dtype)
+                self.arrays, self.Lx, self.plan.N_L, jnp.dtype(self.plan.dtype)
             )
         return self._linv
 
@@ -98,8 +98,7 @@ class CholeskyFactor:
         L @ L.T == P A P^T exactly like the reference's output."""
         Lx = np.asarray(self.Lx[: self.plan.N_L]).astype(np.float64)
         dinv = 1.0 / np.asarray(self.d, dtype=np.float64)
-        Lx = Lx * dinv[self.plan.slot_row]
-        return self.plan.extract_csc(Lx)
+        return self.plan.extract_csc(Lx, row_scale=dinv)
 
     def log_det(self) -> float:
         """log det(A) = 2 sum(log diag L') - 2 sum(log d)."""

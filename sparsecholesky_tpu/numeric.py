@@ -10,12 +10,15 @@ Execution model (see plan.py for the data layout):
   * the wavefront over assembly-tree levels is *traced* — each level is a
     handful of batched ops; within a level all supernodes of one padded
     shape go through a single batched panel factorization;
+  * panel gather/scatter index grids are affine in the block store and are
+    computed on device from three scalars per supernode (off/w/mb) with
+    broadcasted iota — HBM holds only the factor and O(small) plan arrays;
   * panel factorize = batched dense Cholesky of the w_pad x w_pad diagonal
     block (MXU via XLA, or the fused Pallas kernel in ops/panel_chol.py)
     + batched triangular solve for the below-block;
   * trailing update = one batched SYRK (pure MXU matmul) + one
-    deterministic scatter-add, replacing the reference's racy sparse
-    ``apply_update`` (SURVEY.md §2c item 5);
+    deterministic scatter-add through the factored update map, replacing
+    the reference's racy sparse ``apply_update`` (SURVEY.md §2c item 5);
   * non-positive-definiteness is detected per supernode and reported after
     the (fully static) factorization completes, with supernode id, column
     range and pivot — matching the reference's detailed dpotrf-info message
@@ -45,25 +48,42 @@ from .plan import FactorizePlan
 
 @dataclasses.dataclass(frozen=True)
 class _BucketArrays:
-    gather_idx: jax.Array
-    scatter_idx: jax.Array
-    update_idx: jax.Array | None
-    col_idx: jax.Array
-    below_idx: jax.Array
+    off: jax.Array          # [B] (or [ndev, B] sharded)
+    w: jax.Array
+    mb: jax.Array
+    col_idx: jax.Array      # [B, w_pad]
+    below_idx: jax.Array    # [B, mb_pad]
+    ucolbase: jax.Array | None
+    utw: jax.Array | None
+    ug: jax.Array | None
+    up: jax.Array | None    # [B, mb_pad, G_pad]
 
     def tree_flatten(self):
-        children = (
-            self.gather_idx,
-            self.scatter_idx,
-            self.update_idx,
-            self.col_idx,
-            self.below_idx,
-        )
-        return children, None
+        return (
+            self.off, self.w, self.mb, self.col_idx, self.below_idx,
+            self.ucolbase, self.utw, self.ug, self.up,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    @property
+    def w_pad(self) -> int:
+        return self.col_idx.shape[-1]
+
+    @property
+    def mb_pad(self) -> int:
+        return self.below_idx.shape[-1]
+
+    def index_leading(self, i):
+        """Strip a leading device axis (sharded layouts)."""
+        take = lambda a: None if a is None else a[i]
+        return _BucketArrays(
+            take(self.off), take(self.w), take(self.mb),
+            take(self.col_idx), take(self.below_idx),
+            take(self.ucolbase), take(self.utw), take(self.ug), take(self.up),
+        )
 
 
 jax.tree_util.register_pytree_node(
@@ -72,43 +92,114 @@ jax.tree_util.register_pytree_node(
 
 
 def device_arrays(plan: FactorizePlan):
-    """Upload the plan's index maps once; reuse across factorize/solve calls.
-
-    Sentinels: the plan marks dead slots with -1, but JAX *wraps* negative
-    indices in both gather (take mode='fill') and scatter (mode='drop') —
-    only indices >= size fill/drop.  So every -1 is rewritten here to the
-    out-of-bounds slot N_L + 1 (the buffer has N_L + 1 slots, 0..N_L).
-    """
-    oob = plan.N_L + 1
-
-    def _ix(idx):
-        return jnp.asarray(np.where(idx < 0, oob, idx).astype(np.int32))
-
+    """Upload the plan's index maps once; reuse across factorize/solve calls."""
     levels = []
     for lev in plan.levels:
         bl = []
         for b in lev:
             bl.append(
                 _BucketArrays(
-                    gather_idx=_ix(b.gather_idx),
-                    scatter_idx=_ix(b.scatter_idx),
-                    update_idx=(
-                        _ix(b.update_idx) if b.update_idx is not None else None
-                    ),
+                    off=jnp.asarray(b.off),
+                    w=jnp.asarray(b.w),
+                    mb=jnp.asarray(b.mb),
                     col_idx=jnp.asarray(b.col_idx),
                     below_idx=jnp.asarray(b.below_idx),
+                    ucolbase=None if b.ucolbase is None else jnp.asarray(b.ucolbase),
+                    utw=None if b.utw is None else jnp.asarray(b.utw),
+                    ug=None if b.ug is None else jnp.asarray(b.ug),
+                    up=None if b.up is None else jnp.asarray(b.up),
                 )
             )
         levels.append(bl)
     return {
         "levels": levels,
-        "init_map": jnp.asarray(plan.init_map.astype(np.int32)),
-        "slot_row": jnp.asarray(plan.slot_row.astype(np.int32)),
-        "slot_col": jnp.asarray(plan.slot_col.astype(np.int32)),
+        "entry_slot": jnp.asarray(plan.entry_slot.astype(np.int32)),
+        "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
+        "entry_phi": jnp.asarray(plan.entry_phi.astype(np.int32)),
         "diag_map": jnp.asarray(plan.diag_map.astype(np.int32)),
         "perm": jnp.asarray(plan.perm.astype(np.int32)),
         "iperm": jnp.asarray(plan.iperm.astype(np.int32)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Affine panel index grids (device-computed; see plan.py layout)
+
+
+def panel_indices(b: _BucketArrays, N_L: int, *, w_pad: int, mb_pad: int):
+    """(gather_idx, scatter_idx) int32[B, w_pad+mb_pad, w_pad] for a bucket.
+
+    Gather: diagonal-block rows map to slot off + i*w + j, identity-padding
+    rows map to the permanent ones slot N_L, everything else to the
+    out-of-bounds slot (reads 0 via mode='fill', drops via mode='drop').
+    Scatter: same affine slots for valid positions only (identity rows
+    dropped).  The strict-upper slots of the diagonal block ARE written —
+    they are meaningless scratch that every reader masks with tril, which
+    lets kernels stash per-panel scalars there (ops/panel_chol.py).
+    """
+    m_pad = w_pad + mb_pad
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad, 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_pad), 2)
+    offb = b.off[:, None, None]
+    wb = b.w[:, None, None]
+    mbb = b.mb[:, None, None]
+    r = jnp.where(ii < w_pad, ii, ii - w_pad + wb)
+    valid = (jj < wb) & ((ii < wb) | ((ii >= w_pad) & (ii - w_pad < mbb)))
+    slot = offb + r * wb + jj
+    ident = (ii >= wb) & (ii < w_pad) & (jj == ii)
+    oob = jnp.int32(N_L + 1)
+    gidx = jnp.where(valid, slot, jnp.where(ident, jnp.int32(N_L), oob))
+    sidx = jnp.where(valid, slot, oob)
+    return gidx, sidx
+
+
+def update_indices(b: _BucketArrays, N_L: int, i0=0, i1=None, j0=0, j1=None):
+    """int32[B, i1-i0, j1-j0] Schur-update target slots for the given tile
+    of the below-rows clique (lower triangle; everything else
+    out-of-bounds -> dropped)."""
+    mb_pad = b.mb_pad
+    i1 = mb_pad if i1 is None else i1
+    j1 = mb_pad if j1 is None else j1
+    pos = jnp.take_along_axis(
+        b.up[:, i0:i1, :], b.ug[:, None, j0:j1], axis=2
+    )  # [B, i, j]
+    idx = b.ucolbase[:, None, j0:j1] + pos * b.utw[:, None, j0:j1]
+    ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, i1 - i0, 1), 1)
+    jj = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, j1 - j0), 2)
+    mbb = b.mb[:, None, None]
+    valid = (ii >= jj) & (ii < mbb) & (jj < mbb)
+    return jnp.where(valid, idx, jnp.int32(N_L + 1))
+
+
+# Tile edge for Schur updates: below-blocks taller than this are updated in
+# (ti >= tj) tile pairs, bounding transient memory to B*UPDATE_TILE^2 and
+# skipping the strictly-upper half of the symmetric product.
+UPDATE_TILE = 2048
+
+
+def apply_schur_update(Lx, b: _BucketArrays, L21, N_L: int, dtype):
+    """Lx -= scatter(L21 @ L21^T) over the bucket's update map (tiled)."""
+    mb_pad = b.mb_pad
+    if mb_pad <= UPDATE_TILE:
+        C = jnp.einsum("bik,bjk->bij", L21, L21, preferred_element_type=dtype)
+        return Lx.at[update_indices(b, N_L)].add(-C, mode="drop")
+    ntile = -(-mb_pad // UPDATE_TILE)
+    for ti in range(ntile):
+        i0, i1 = ti * UPDATE_TILE, min(mb_pad, (ti + 1) * UPDATE_TILE)
+        for tj in range(ti + 1):
+            j0, j1 = tj * UPDATE_TILE, min(mb_pad, (tj + 1) * UPDATE_TILE)
+            C = jnp.einsum(
+                "bik,bjk->bij", L21[:, i0:i1], L21[:, j0:j1],
+                preferred_element_type=dtype,
+            )
+            idx = update_indices(b, N_L, i0, i1, j0, j1)
+            Lx = Lx.at[idx].add(-C, mode="drop")
+    return Lx
+
+
+def gather_panels(Lx, b: _BucketArrays, N_L: int):
+    gidx, _ = panel_indices(b, N_L, w_pad=b.w_pad, mb_pad=b.mb_pad)
+    return jnp.take(Lx, gidx, mode="fill", fill_value=0)
 
 
 # ---------------------------------------------------------------------------
@@ -186,51 +277,53 @@ def _panel_factor(P, w_pad, backend: str):
 # Factorization driver
 
 
+def _initial_values(arrays, Ax, *, N_L: int, dtype, scale: bool):
+    """Scatter A's entries into the zero block store; returns (Lx, d).
+    Lx has N_L + 1 slots: N_L real plus the permanent-one slot N_L.  Masked
+    positions use index N_L + 1, which is OUT OF BOUNDS by construction:
+    gathers fill 0 (mode='fill'), scatters drop (mode='drop')."""
+    if scale:
+        diag = Ax[arrays["diag_map"]]
+        d = jax.lax.rsqrt(jnp.abs(diag))
+        vals = Ax * d[arrays["entry_plo"]] * d[arrays["entry_phi"]]
+        d = d.astype(dtype)
+    else:
+        d = jnp.ones((arrays["diag_map"].shape[0],), dtype=dtype)
+        vals = Ax
+    vals = vals.astype(dtype)
+    Lx = jnp.zeros((N_L + 1,), dtype=dtype)
+    Lx = Lx.at[N_L].set(1.0)
+    Lx = Lx.at[arrays["entry_slot"]].add(vals, mode="drop")
+    return Lx, d
+
+
 def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str,
                     scale: bool = False):
     """Pure jittable numeric factorization.
-    Returns (Lx_ext, minpiv_flat, d) where d is the symmetric Jacobi
+    Returns (Lx, minpiv_flat, d) where d is the symmetric Jacobi
     equilibration vector (ones when ``scale`` is off): the factor stored is
     of D A D with D = diag(d), d_i = 1/sqrt(a_ii).  Equilibration keeps
     ill-scaled matrices (the SuiteSparse bcsstk/bus families) factorizable
     in fp32 on the MXU — a capability fp64-only CPU codes like the
     reference never needed.
-
-    Lx_ext has N_L + 1 slots; the last permanently holds 1.0 (gather target
-    for padded diagonal positions).
     """
-    init_map = arrays["init_map"]
     Ax = Ax.astype(jnp.result_type(Ax.dtype))
-    vals64 = jnp.where(init_map >= 0, Ax[jnp.clip(init_map, 0)], 0)
-    if scale:
-        diag = Ax[arrays["diag_map"]]
-        d = jax.lax.rsqrt(jnp.abs(diag))
-        vals64 = vals64 * d[arrays["slot_row"]] * d[arrays["slot_col"]]
-        d = d.astype(dtype)
-    else:
-        d = jnp.ones((arrays["diag_map"].shape[0],), dtype=dtype)
-    vals = vals64.astype(dtype)
-    Lx = jnp.concatenate([vals, jnp.ones((1,), dtype=dtype)])
+    Lx, d = _initial_values(arrays, Ax, N_L=N_L, dtype=dtype, scale=scale)
 
     minpivs = []
     for buckets in arrays["levels"]:
-        level_updates = []
         for b in buckets:
-            w_pad = b.gather_idx.shape[2]
-            P = jnp.take(Lx, b.gather_idx, mode="fill", fill_value=0)
+            w_pad, mb_pad = b.w_pad, b.mb_pad
+            gidx, sidx = panel_indices(b, N_L, w_pad=w_pad, mb_pad=mb_pad)
+            P = jnp.take(Lx, gidx, mode="fill", fill_value=0)
             L, minpiv = _panel_factor(P, w_pad, backend)
             minpivs.append(minpiv)
-            Lx = Lx.at[b.scatter_idx].set(L, mode="drop")
-            if b.update_idx is not None:
-                L21 = L[:, w_pad:, :]
-                C = jnp.einsum(
-                    "bik,bjk->bij", L21, L21, preferred_element_type=dtype
-                )
-                level_updates.append((b.update_idx, C))
-        # Schur updates target strictly later levels, so applying them after
-        # all panels of this level is equivalent and keeps the adds batched.
-        for idx, C in level_updates:
-            Lx = Lx.at[idx].add(-C, mode="drop")
+            Lx = Lx.at[sidx].set(L, mode="drop")
+            if mb_pad:
+                # Schur updates target strictly later levels (assembly-tree
+                # ancestors), never a peer of this level, so applying them
+                # immediately is safe and keeps transient buffers small.
+                Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], N_L, dtype)
     minpiv_flat = (
         jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
     )
@@ -263,7 +356,7 @@ def factorize(
     """Numeric factorization of the matrix whose values are Ax (on the
     pattern/permutation the plan was compiled for).
 
-    Returns (Lx_ext, d): the block-store factor (N_L + 1 slots) of
+    Returns (Lx, d): the block-store factor (N_L + 1 slots) of
     D A D and the equilibration vector d (ones when scale is off).
     Raises NotPositiveDefiniteError (with supernode id / column range /
     pivot) if ``check`` and a non-positive pivot occurred.
@@ -304,19 +397,16 @@ def refactorize(plan: FactorizePlan, Ax, arrays, **kw):
 # pure MXU matmuls (no loop-lowered triangular solves on the hot path).
 
 
-def _diag_inverses_impl(arrays, Lx, *, dtype):
+def _diag_inverses_impl(arrays, Lx, *, N_L: int, dtype):
     out = []
     for buckets in arrays["levels"]:
         bl = []
         for b in buckets:
-            w_pad = b.gather_idx.shape[2]
-            P11 = jnp.take(
-                Lx, b.gather_idx[:, :w_pad, :], mode="fill", fill_value=0
-            )
+            w_pad = b.w_pad
+            gidx, _ = panel_indices(b, N_L, w_pad=w_pad, mb_pad=0)
+            P11 = jnp.take(Lx, gidx, mode="fill", fill_value=0)
             L11 = jnp.tril(P11)
-            eye = jnp.broadcast_to(
-                jnp.eye(w_pad, dtype=dtype), P11.shape
-            )
+            eye = jnp.broadcast_to(jnp.eye(w_pad, dtype=dtype), P11.shape)
             inv = jax.lax.linalg.triangular_solve(
                 L11, eye, left_side=True, lower=True
             )
@@ -325,7 +415,7 @@ def _diag_inverses_impl(arrays, Lx, *, dtype):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def diag_inverses(arrays, Lx, dtype):
+@functools.partial(jax.jit, static_argnames=("N_L", "dtype"))
+def diag_inverses(arrays, Lx, N_L, dtype):
     with jax.default_matmul_precision("highest"):
-        return _diag_inverses_impl(arrays, Lx, dtype=dtype)
+        return _diag_inverses_impl(arrays, Lx, N_L=N_L, dtype=dtype)

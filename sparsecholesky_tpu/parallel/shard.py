@@ -9,7 +9,7 @@ chips* via shard_map over a 1D mesh.
 Design (round 1 — replicated factor, sharded work):
   * the block-store factor Lx is replicated on every chip;
   * each wavefront level's supernodes are partitioned across chips
-    (host-side, load-balanced by padded flops);
+    (host-side, one batch shape per chip);
   * each chip gathers/factors only its own panels and accumulates its
     column results and Schur updates into a local delta over the block
     store; a single psum over the mesh merges the level — the "halo
@@ -20,13 +20,13 @@ Design (round 1 — replicated factor, sharded work):
     (contrast with the reference's racy apply_update, SURVEY.md §2c).
 
 Dead-lane padding: per level each chip gets the same batch shape; chips
-with fewer supernodes get "dead" panels whose gather map assembles the
-identity (factorizes to itself, contributes zero delta, pivot 1).
+with fewer supernodes get "dead" panels with w = mb = 0, whose affine
+gather assembles the identity (factorizes to itself, contributes zero
+delta, pivot 1).
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import numpy as np
@@ -35,37 +35,30 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..plan import FactorizePlan, Bucket
+from ..plan import FactorizePlan
 from ..errors import NotPositiveDefiniteError
+from ..numeric import (
+    _BucketArrays,
+    _initial_values,
+    _panel_factor,
+    apply_schur_update,
+    panel_indices,
+)
 
 
 # ---------------------------------------------------------------------------
 # Host-side plan sharding
 
 
-def _dead_bucket_rows(w_pad, mb_pad, N_L):
-    """Gather/scatter rows for a dead (identity) panel."""
-    m_pad = w_pad + mb_pad
-    gather = np.full((m_pad, w_pad), -1, dtype=np.int64)
-    for i in range(w_pad):
-        gather[i, i] = N_L  # ones slot -> identity diagonal
-    scatter = np.full((m_pad, w_pad), -1, dtype=np.int64)
-    return gather, scatter
-
-
 def shard_plan(plan: FactorizePlan, ndev: int):
     """Partition every level's buckets across ndev devices.
 
     Returns the same nested levels/buckets structure with a leading device
-    axis on every index array: gather [ndev, Bd, m_pad, w_pad] etc.
-    Assignment: supernodes of a bucket are dealt round-robin after sorting
-    levels' buckets — within a bucket all panels cost the same (same padded
+    axis on every per-supernode array: off [ndev, Bd], col_idx
+    [ndev, Bd, w_pad], ...  Assignment: supernodes of a bucket are dealt
+    round-robin — within a bucket all panels cost the same (same padded
     shape), so round-robin is flop-balanced.
     """
-    oob = plan.N_L + 1
-
-    def _ix(idx):
-        return jnp.asarray(np.where(idx < 0, oob, idx).astype(np.int32))
 
     levels = []
     for lev in plan.levels:
@@ -73,46 +66,35 @@ def shard_plan(plan: FactorizePlan, ndev: int):
         for b in lev:
             B = b.batch
             Bd = -(-B // ndev)
-            total = Bd * ndev
-            pad = total - B
+            pad = Bd * ndev - B
 
-            def _expand(arr, dead_row):
+            def _expand(arr, fill):
+                if arr is None:
+                    return None
                 if pad:
-                    dead = np.broadcast_to(
-                        dead_row, (pad,) + arr.shape[1:]
-                    )
+                    dead = np.full((pad,) + arr.shape[1:], fill, arr.dtype)
                     arr = np.concatenate([arr, dead], axis=0)
-                return arr.reshape(ndev, Bd, *arr.shape[1:])
+                return jnp.asarray(arr.reshape(ndev, Bd, *arr.shape[1:]))
 
-            g_dead, s_dead = _dead_bucket_rows(b.w_pad, b.mb_pad, plan.N_L)
-            gather = _expand(b.gather_idx, g_dead)
-            scatter = _expand(b.scatter_idx, s_dead)
-            update = (
-                _expand(b.update_idx, np.full((b.mb_pad, b.mb_pad), -1))
-                if b.update_idx is not None
-                else None
-            )
-            col_idx = _expand(b.col_idx, np.full((b.w_pad,), -1))
-            below_idx = (
-                _expand(b.below_idx, np.full((b.mb_pad,), -1))
-                if b.mb_pad
-                else np.zeros((ndev, Bd, 0), dtype=np.int64)
-            )
             bl.append(
-                dict(
-                    gather_idx=_ix(gather),
-                    scatter_idx=_ix(scatter),
-                    update_idx=_ix(update) if update is not None else None,
-                    col_idx=jnp.asarray(col_idx.astype(np.int32)),
-                    below_idx=jnp.asarray(below_idx.astype(np.int32)),
+                _BucketArrays(
+                    off=_expand(b.off, 0),
+                    w=_expand(b.w, 0),       # dead panel: w = mb = 0
+                    mb=_expand(b.mb, 0),
+                    col_idx=_expand(b.col_idx, -1),
+                    below_idx=_expand(b.below_idx, -1),
+                    ucolbase=_expand(b.ucolbase, 0),
+                    utw=_expand(b.utw, 1),
+                    ug=_expand(b.ug, 0),
+                    up=_expand(b.up, 0),
                 )
             )
         levels.append(bl)
     return {
         "levels": levels,
-        "init_map": jnp.asarray(plan.init_map.astype(np.int32)),
-        "slot_row": jnp.asarray(plan.slot_row.astype(np.int32)),
-        "slot_col": jnp.asarray(plan.slot_col.astype(np.int32)),
+        "entry_slot": jnp.asarray(plan.entry_slot.astype(np.int32)),
+        "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
+        "entry_phi": jnp.asarray(plan.entry_phi.astype(np.int32)),
         "diag_map": jnp.asarray(plan.diag_map.astype(np.int32)),
         "perm": jnp.asarray(plan.perm.astype(np.int32)),
         "iperm": jnp.asarray(plan.iperm.astype(np.int32)),
@@ -124,39 +106,27 @@ def shard_plan(plan: FactorizePlan, ndev: int):
 
 
 def _sharded_factorize_body(arrays, Ax, *, N_L, dtype, axis: str, scale: bool):
-    """Runs per device inside shard_map; index arrays arrive device-local
-    (leading device axis stripped to size 1 by the sharding)."""
-    from ..numeric import _panel_factor
-
-    init_map = arrays["init_map"]
-    vals = jnp.where(init_map >= 0, Ax[jnp.clip(init_map, 0)], 0)
-    if scale:
-        diag = Ax[arrays["diag_map"]]
-        d = jax.lax.rsqrt(jnp.abs(diag))
-        vals = vals * d[arrays["slot_row"]] * d[arrays["slot_col"]]
-        d = d.astype(dtype)
-    else:
-        d = jnp.ones((arrays["diag_map"].shape[0],), dtype=dtype)
-    vals = vals.astype(dtype)
-    Lx = jnp.concatenate([vals, jnp.ones((1,), dtype=dtype)])
+    """Runs per device inside shard_map; bucket arrays arrive device-local
+    (leading device axis of size 1 under the sharding)."""
+    Lx, d = _initial_values(arrays, Ax, N_L=N_L, dtype=dtype, scale=scale)
 
     minpivs = []
     for buckets in arrays["levels"]:
         delta = jnp.zeros_like(Lx)
         for b in buckets:
-            gidx = b["gather_idx"][0]
-            sidx = b["scatter_idx"][0]
-            w_pad = gidx.shape[-1]
+            bl = b.index_leading(0)
+            gidx, sidx = panel_indices(
+                bl, N_L, w_pad=bl.w_pad, mb_pad=bl.mb_pad
+            )
             Pn = jnp.take(Lx, gidx, mode="fill", fill_value=0)
-            L, piv = _panel_factor(Pn, w_pad, "xla")
+            L, piv = _panel_factor(Pn, bl.w_pad, "xla")
             minpivs.append(piv)
             # set-as-add: scatter slots currently hold Pn's values
             delta = delta.at[sidx].add(L - Pn, mode="drop")
-            if b["update_idx"] is not None:
-                L21 = L[:, w_pad:, :]
-                C = jnp.einsum("bik,bjk->bij", L21, L21,
-                               preferred_element_type=dtype)
-                delta = delta.at[b["update_idx"][0]].add(-C, mode="drop")
+            if bl.mb_pad:
+                delta = apply_schur_update(
+                    delta, bl, L[:, bl.w_pad:, :], N_L, dtype
+                )
         delta = jax.lax.psum(delta, axis)
         # the ones slot must stay exactly 1.0 (dead panels scatter nothing,
         # but numerical noise must not accumulate there)
@@ -183,13 +153,13 @@ def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
     dtype = jnp.dtype(plan.dtype)
 
     # bucket index arrays are sharded over their leading device axis;
-    # everything else (init maps, Ax, Lx) is replicated
+    # everything else (entry/diag maps, Ax, Lx) is replicated
     in_specs = (
         {
             "levels": jax.tree.map(lambda _: P(axis), arrays["levels"]),
-            "init_map": P(),
-            "slot_row": P(),
-            "slot_col": P(),
+            "entry_slot": P(),
+            "entry_plo": P(),
+            "entry_phi": P(),
             "diag_map": P(),
             "perm": P(),
             "iperm": P(),

@@ -4,7 +4,7 @@ This is the layer the reference does not have, and the one that makes the
 design TPU-native (SURVEY.md §7 "design stance"): every irregular,
 data-dependent decision — supernode shapes, panel row structures, where A's
 values land, where each Schur-complement entry must be added — is resolved
-*once* on the host into int32 index arrays of static shape.  The numeric
+*once* on the host into compact int32 arrays of static shape.  The numeric
 phase (numeric.py) is then a pure jittable function of (plan arrays, Ax)
 whose only device ops are gathers, batched dense panel factorizations on
 the MXU, batched SYRKs, and scatter-adds.
@@ -16,11 +16,16 @@ Storage layout of the factor ("block store"):
   + per-panel memoized scatter indices (panel::indices_,
   /root/reference/include/chol.hpp:1093).  Blocks are concatenated into one
   flat value buffer Lx of size N_L; slot N_L (one extra) permanently holds
-  1.0 and is the gather target for padded diagonal positions.
+  1.0 and is the gather target for padded diagonal positions.  Slots above
+  the diagonal of a diagonal block exist but carry no meaning: every
+  consumer masks them with tril, so kernels may freely write scratch there.
 
-Panel layout handed to the kernels (identity padding, maskless):
-  Each supernode is padded to a bucket shape (w_pad, mb_pad) and assembled
-  as a (w_pad + mb_pad) x w_pad panel:
+Affine panel addressing (v2, the scalability redesign):
+  Within a block, slot(i, j) = off_s + i*w_s + j is affine in (i, j), so the
+  per-panel gather/scatter index grids are *computed on device* from three
+  scalars per supernode (off, w, mb) with broadcasted iota — nothing of
+  O(nnz(L)) size is ever materialized on the host or stored in HBM.  The
+  assembled panel layout handed to the kernels (identity padding, maskless):
     rows [0, w)            : the supernode's own columns (diagonal block)
     rows [w, w_pad)        : identity padding (1 on the diagonal)
     rows [w_pad, w_pad+mb) : the below-diagonal rows
@@ -29,15 +34,24 @@ Panel layout handed to the kernels (identity padding, maskless):
   the factorization of the padded panel *is* the factorization of the real
   panel — no masks anywhere on the device.
 
+Initial values:
+  One scatter of A's nnz entries into the zero-initialised block store
+  (entry_slot below), replacing a dense slot->entry gather map.
+
 Schur updates ("extend-add"):
   After factoring supernode s, C = L21 @ L21^T must be subtracted from the
   ancestor entries (r_i, r_j) for below-rows r_i >= r_j.  The reference
   does this with a racy sparse scatter (apply_update,
   /root/reference/include/chol.hpp:1196-1216, race noted in SURVEY.md §2c);
-  here every target is a precomputed flat slot in the block store and the
-  device op is a single deterministic scatter-add.  Pairs whose target slot
-  does not exist in the (amalgamation-expanded) pattern provably carry an
-  exactly-zero contribution and are dropped via index -1.
+  here the target slot factorizes as
+      idx[i, j] = ucolbase[j] + up[i, g(j)] * utw[j]
+  where g(j) ranks column j's owner supernode among the O(few) distinct
+  ancestor supernodes the below rows touch, so the stored maps are
+  O(mb * G) instead of O(mb^2), and the device op is a single deterministic
+  scatter-add.  Every (r_i, r_j) target provably exists in the supernodal
+  pattern: r_i, r_j both lie in s's row set, hence r_i is in the strict
+  pattern of column r_j (fill path through s), which is contained in the
+  (amalgamation-expanded) row union of r_j's supernode.
 """
 
 from __future__ import annotations
@@ -73,16 +87,26 @@ def _pad_mb(mb: int) -> int:
 
 @dataclasses.dataclass
 class Bucket:
-    """One batch of same-shape supernodes within a level."""
+    """One batch of same-padded-shape supernodes within a level.
+
+    All index arrays are compact: O(B * (w_pad + mb_pad * G)) total, never
+    O(panel area).  Panel gather/scatter grids are derived on device from
+    (off, w, mb); see numeric._panel_indices.
+    """
 
     w_pad: int
     mb_pad: int
     sn_ids: np.ndarray        # int32[B] supernode ids (for error reporting)
-    gather_idx: np.ndarray    # int32[B, w_pad+mb_pad, w_pad] -> Lx_ext slot / -1
-    scatter_idx: np.ndarray   # int32[B, w_pad+mb_pad, w_pad] -> Lx slot / -1
-    update_idx: np.ndarray | None  # int32[B, mb_pad, mb_pad] -> Lx slot / -1
+    off: np.ndarray           # int32[B] block-store offset of each supernode
+    w: np.ndarray             # int32[B] true width
+    mb: np.ndarray            # int32[B] true below-row count
     col_idx: np.ndarray       # int32[B, w_pad] global (permuted) column ids / -1
     below_idx: np.ndarray     # int32[B, mb_pad] global (permuted) row ids / -1
+    # factored Schur-update map (all None when mb_pad == 0):
+    ucolbase: np.ndarray | None  # int32[B, mb_pad] t_off + (r_j - t_c0)
+    utw: np.ndarray | None       # int32[B, mb_pad] width of column j's owner
+    ug: np.ndarray | None        # int32[B, mb_pad] rank of owner in distinct list
+    up: np.ndarray | None        # int32[B, mb_pad, G_pad] row position in owner
 
     @property
     def batch(self) -> int:
@@ -110,9 +134,9 @@ class FactorizePlan:
     block_off: np.ndarray     # int64[ns] offset of each supernode block
     block_w: np.ndarray       # int64[ns]
     block_m: np.ndarray       # int64[ns]
-    init_map: np.ndarray      # int32[N_L] -> index into original Ax / -1
-    slot_row: np.ndarray      # int32[N_L] global (permuted) row of each slot
-    slot_col: np.ndarray      # int32[N_L] global (permuted) col of each slot
+    entry_slot: np.ndarray    # int64[nnz(A)] block-store slot of each A entry
+    entry_plo: np.ndarray     # int32[nnz(A)] permuted min coordinate (L column)
+    entry_phi: np.ndarray     # int32[nnz(A)] permuted max coordinate (L row)
     diag_map: np.ndarray      # int32[n] -> index of A(i,i) in original Ax
     levels: list[list[Bucket]]
     dtype: np.dtype
@@ -130,10 +154,14 @@ class FactorizePlan:
     def nnz_L(self) -> int:
         return self.S.supernodal_nnz()
 
-    def extract_csc(self, Lx: np.ndarray) -> CSCMatrix:
+    def extract_csc(self, Lx: np.ndarray, row_scale: np.ndarray | None = None
+                    ) -> CSCMatrix:
         """Block store -> lower-triangular CSC (sorted), for inspection and
         oracle comparison — the export role of the reference's final L
-        (/root/reference/include/chol.hpp:1407-1446 returns CSC directly)."""
+        (/root/reference/include/chol.hpp:1407-1446 returns CSC directly).
+
+        ``row_scale`` (length n, permuted order) multiplies each row, used
+        to undo equilibration."""
         S = self.S
         n = self.n
         cols, rows, vals = [], [], []
@@ -148,7 +176,10 @@ class FactorizePlan:
                 keep = np.arange(j, m)
                 rows.append(r[keep])
                 cols.append(np.full(m - j, c0 + j, dtype=np.int64))
-                vals.append(block[keep, j])
+                v = block[keep, j]
+                if row_scale is not None:
+                    v = v * row_scale[r[keep]]
+                vals.append(v)
         rows = np.concatenate(rows)
         cols = np.concatenate(cols)
         vals = np.concatenate(vals)
@@ -221,55 +252,53 @@ def compile_plan(
     block_off = np.zeros(ns, dtype=np.int64)
     np.cumsum(block_sz[:-1], out=block_off[1:])
     N_L = int(block_sz.sum())
+    if N_L + 2 >= np.iinfo(np.int32).max:
+        raise SymbolicError(
+            f"block store of {N_L} slots exceeds int32 addressing; "
+            "partition the matrix (multi-chip block store) instead"
+        )
 
-    # ---- init map: block slot -> original Ax index (or -1) -------------
-    # slot (s, i, j) holds L(global_row=rows[s][i], global_col=c0+j); its
-    # initial value is (P A P^T)(row, col) = permuted-upper entry (col, row).
-    # The permuted-upper entries are lexsorted by (column=hi, row=lo), so
-    # key = hi*n + lo is globally sorted and one searchsorted resolves all
-    # slots at once.
-    init_map = np.full(N_L, -1, dtype=np.int64)
-    slot_row = np.zeros(N_L, dtype=np.int64)
-    slot_col = np.zeros(N_L, dtype=np.int64)
-    entry_keys = pAi.astype(np.int64)  # lo (row within upper column)
-    # recover the column (hi) of each entry from pAp
-    entry_cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(pAp))
-    entry_keys = entry_cols * n + entry_keys
-    q_keys, q_slots = [], []
-    for s in range(ns):
-        c0 = int(S.sn_ptr[s])
-        w = int(block_w[s])
-        m = int(block_m[s])
-        rows = S.sn_rows[s]
-        off = int(block_off[s])
-        for j in range(w):
-            gcol = c0 + j
-            i = np.arange(j, m)  # rows[:w] == columns, so rows[j] == gcol
-            slots = off + i * w + j
-            slot_row[slots] = rows[i]
-            slot_col[slots] = gcol
-            # entry (gcol, rows[i]) lives in permuted-upper column rows[i]
-            q_keys.append(rows[i] * n + gcol)
-            q_slots.append(slots)
-    if q_keys:
-        q_keys = np.concatenate(q_keys)
-        q_slots = np.concatenate(q_slots)
-        pos = np.searchsorted(entry_keys, q_keys)
-        pos_c = np.minimum(pos, max(len(entry_keys) - 1, 0))
-        hit = (len(entry_keys) > 0) & (entry_keys[pos_c] == q_keys)
-        init_map[q_slots[hit]] = pAe[pos_c[hit]]
+    # ---- global sorted row-key table for O(log) position lookups --------
+    # Segment s of R holds sn_rows[s] (sorted); key = s*n + row is globally
+    # strictly increasing, so one searchsorted resolves (supernode, row) ->
+    # position-within-supernode for any batch of queries.
+    row_lens = block_m
+    sn_row_off = np.zeros(ns + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=sn_row_off[1:])
+    R = np.concatenate(S.sn_rows) if ns else np.zeros(0, dtype=np.int64)
+    seg_of = np.repeat(np.arange(ns, dtype=np.int64), row_lens)
+    K = seg_of * n + R
+
+    sn_ptr = S.sn_ptr.astype(np.int64)
+
+    def _positions(t: np.ndarray, r: np.ndarray) -> np.ndarray:
+        """Position of row r within supernode t's row list (vectorized)."""
+        g = np.searchsorted(K, t * n + r)
+        return g - sn_row_off[t]
+
+    # ---- entry scatter map: original A entry -> block-store slot --------
+    # Entry (lo, hi) of the permuted upper pattern is L(hi, lo): owner
+    # supernode t = sn_id[lo], slot = off_t + pos(hi)*w_t + (lo - c0_t).
+    entry_slot = np.empty(A.nnz, dtype=np.int64)
+    entry_plo = np.empty(A.nnz, dtype=np.int64)
+    entry_phi = np.empty(A.nnz, dtype=np.int64)
+    lo = pAi.astype(np.int64)
+    hi = np.repeat(np.arange(n, dtype=np.int64), np.diff(pAp))
+    t = S.sn_id[lo].astype(np.int64)
+    pos = _positions(t, hi)
+    slots = block_off[t] + pos * block_w[t] + (lo - sn_ptr[t])
+    entry_slot[pAe] = slots
+    entry_plo[pAe] = lo
+    entry_phi[pAe] = hi
 
     # diagonal entry index of each permuted column in the ORIGINAL Ax
-    # (permuted-upper diagonal entries have lo == hi == j)
     diag_map = np.full(n, -1, dtype=np.int64)
-    dkeys = np.arange(n, dtype=np.int64) * (n + 1)  # j*n + j
-    dpos = np.searchsorted(entry_keys, dkeys)
-    dpos_c = np.minimum(dpos, max(len(entry_keys) - 1, 0))
-    dhit = (len(entry_keys) > 0) & (entry_keys[dpos_c] == dkeys)
-    diag_map[dhit] = pAe[dpos_c[dhit]]
+    isdiag = lo == hi
+    diag_map[lo[isdiag]] = pAe[isdiag]
+    if (diag_map < 0).any():
+        raise SymbolicError("matrix has structurally missing diagonal entries")
 
     # ---- per-level buckets ---------------------------------------------
-    sn_of_col = S.sn_id
     levels_out: list[list[Bucket]] = []
     for lev in S.levels:
         groups: dict[tuple[int, int], list[int]] = {}
@@ -282,7 +311,10 @@ def compile_plan(
         buckets = []
         for (w_pad, mb_pad), sns in sorted(groups.items()):
             buckets.append(
-                _build_bucket(S, sns, w_pad, mb_pad, block_off, block_w, block_m, N_L)
+                _build_bucket(
+                    S, sns, w_pad, mb_pad, block_off, block_w, block_m,
+                    sn_row_off, K, n,
+                )
             )
         levels_out.append(buckets)
 
@@ -295,83 +327,81 @@ def compile_plan(
         block_off=block_off,
         block_w=block_w,
         block_m=block_m,
-        init_map=init_map,
-        slot_row=slot_row,
-        slot_col=slot_col,
+        entry_slot=entry_slot,
+        entry_plo=entry_plo,
+        entry_phi=entry_phi,
         diag_map=diag_map,
         levels=levels_out,
         dtype=np.dtype(dtype or A.data.dtype),
     )
 
 
-def _build_bucket(S, sns, w_pad, mb_pad, block_off, block_w, block_m, N_L) -> Bucket:
+def _build_bucket(
+    S, sns, w_pad, mb_pad, block_off, block_w, block_m, sn_row_off, K, n
+) -> Bucket:
     B = len(sns)
-    m_pad = w_pad + mb_pad
-    gather = np.full((B, m_pad, w_pad), -1, dtype=np.int64)
-    scatter = np.full((B, m_pad, w_pad), -1, dtype=np.int64)
-    update = np.full((B, mb_pad, mb_pad), -1, dtype=np.int64) if mb_pad else None
+    sns_a = np.asarray(sns, dtype=np.int64)
+    off = block_off[sns_a]
+    w = block_w[sns_a]
+    mb = block_m[sns_a] - w
+
     col_idx = np.full((B, w_pad), -1, dtype=np.int64)
-    below_idx = np.full((B, mb_pad), -1, dtype=np.int64) if mb_pad else np.zeros((B, 0), dtype=np.int64)
+    below_idx = np.full((B, mb_pad), -1, dtype=np.int64)
+    sn_ptr = S.sn_ptr
 
-    ii = np.arange(m_pad)
+    # distinct ancestor supernodes each panel's below rows touch
+    G_max = 1
+    per_sn = []
     for b, s in enumerate(sns):
-        c0 = int(S.sn_ptr[s])
-        w = int(block_w[s])
-        m = int(block_m[s])
-        mb = m - w
-        off = int(block_off[s])
-        rows = S.sn_rows[s]
+        c0 = int(sn_ptr[s])
+        wb = int(w[b])
+        mbb = int(mb[b])
+        col_idx[b, :wb] = c0 + np.arange(wb)
+        if mbb:
+            br = S.sn_rows[s][wb:]
+            below_idx[b, :mbb] = br
+            tgt = S.sn_id[br].astype(np.int64)   # non-decreasing (br sorted)
+            distinct = np.unique(tgt)
+            G_max = max(G_max, len(distinct))
+            per_sn.append((b, br, tgt, distinct))
 
-        # diagonal block rows [0, w): slot (i, j) -> off + i*w + j
-        jj = np.arange(w)
-        for i in range(w):
-            base = off + i * w
-            gather[b, i, :w] = base + jj
-            # upper-triangle slots of the diagonal block are structurally
-            # unused: gather 0 (they are never read meaningfully), scatter -1
-            scatter[b, i, : i + 1] = base + jj[: i + 1]
-        # identity padding rows [w, w_pad): diagonal -> ones slot N_L
-        for i in range(w, w_pad):
-            gather[b, i, i] = N_L
-        # below rows [w_pad, w_pad + mb)
-        for t in range(mb):
-            base = off + (w + t) * w
-            gather[b, w_pad + t, :w] = base + jj
-            scatter[b, w_pad + t, :w] = base + jj
+    if mb_pad == 0:
+        return Bucket(
+            w_pad=w_pad, mb_pad=0,
+            sn_ids=sns_a.astype(INDEX_DTYPE),
+            off=off.astype(INDEX_DTYPE),
+            w=w.astype(INDEX_DTYPE),
+            mb=mb.astype(INDEX_DTYPE),
+            col_idx=col_idx.astype(INDEX_DTYPE),
+            below_idx=below_idx.astype(INDEX_DTYPE),
+            ucolbase=None, utw=None, ug=None, up=None,
+        )
 
-        col_idx[b, :w] = c0 + jj
-        if mb:
-            below_idx[b, :mb] = rows[w:]
+    ucolbase = np.zeros((B, mb_pad), dtype=np.int64)
+    utw = np.ones((B, mb_pad), dtype=np.int64)
+    ug = np.zeros((B, mb_pad), dtype=np.int64)
+    up = np.zeros((B, mb_pad, G_max), dtype=np.int64)
+    for b, br, tgt, distinct in per_sn:
+        mbb = len(br)
+        G = len(distinct)
+        ucolbase[b, :mbb] = block_off[tgt] + (br - sn_ptr[tgt])
+        utw[b, :mbb] = block_w[tgt]
+        ug[b, :mbb] = np.searchsorted(distinct, tgt)
+        # position of every below row within every distinct target's rows
+        q = (distinct[None, :] * n + br[:, None]).ravel()
+        g = np.searchsorted(K, q).reshape(mbb, G)
+        up[b, :mbb, :G] = g - sn_row_off[distinct][None, :]
 
-        # update map: C[t_i, t_j] for below rows r_i >= r_j subtracts into
-        # the slot of (r_i, r_j) in r_j's supernode block.
-        if mb:
-            br = rows[w:]
-            tgt_sn = S.sn_id[br]  # supernode owning each below row as a column
-            for tj in range(mb):
-                r_j = int(br[tj])
-                t = int(tgt_sn[tj])
-                t_c0 = int(S.sn_ptr[t])
-                t_w = int(block_w[t])
-                t_off = int(block_off[t])
-                t_rows = S.sn_rows[t]
-                jloc = r_j - t_c0
-                # positions of r_i (i >= j) within t's row list
-                ri = br[tj:]
-                pos = np.searchsorted(t_rows, ri)
-                ok = (pos < len(t_rows)) & (t_rows[np.minimum(pos, len(t_rows) - 1)] == ri)
-                flat = t_off + pos * t_w + jloc
-                update[b, tj + np.arange(len(ri)), tj] = np.where(ok, flat, -1)
-
-    # update was built transposed-in-j loop: update[b, i, j] currently holds
-    # targets at column tj for rows >= tj — that is exactly C[i, j] lower.
     return Bucket(
-        w_pad=w_pad,
-        mb_pad=mb_pad,
-        sn_ids=np.asarray(sns, dtype=INDEX_DTYPE),
-        gather_idx=gather.astype(INDEX_DTYPE),
-        scatter_idx=scatter.astype(INDEX_DTYPE),
-        update_idx=update.astype(INDEX_DTYPE) if update is not None else None,
+        w_pad=w_pad, mb_pad=mb_pad,
+        sn_ids=sns_a.astype(INDEX_DTYPE),
+        off=off.astype(INDEX_DTYPE),
+        w=w.astype(INDEX_DTYPE),
+        mb=mb.astype(INDEX_DTYPE),
         col_idx=col_idx.astype(INDEX_DTYPE),
         below_idx=below_idx.astype(INDEX_DTYPE),
+        ucolbase=ucolbase.astype(INDEX_DTYPE),
+        utw=utw.astype(INDEX_DTYPE),
+        ug=ug.astype(INDEX_DTYPE),
+        up=up.astype(INDEX_DTYPE),
     )

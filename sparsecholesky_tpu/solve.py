@@ -30,13 +30,10 @@ import jax
 import jax.numpy as jnp
 
 from .plan import FactorizePlan
+from .numeric import gather_panels
 
 
-def _gather_panels(Lx, b):
-    return jnp.take(Lx, b.gather_idx, mode="fill", fill_value=0)
-
-
-def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype, linv=None):
+def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
     """Pure jittable solve of A x = rhs for one right-hand side in ORIGINAL
     index order: applies perm and the equilibration d (the stored factor is
     of D (P A P^T) D, so x = P^T D L^-T L^-1 D P rhs), then iperm.
@@ -61,14 +58,14 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype, linv=None):
         col_updates = []
         below_updates = []
         for lb, b in enumerate(buckets):
-            w_pad = b.gather_idx.shape[2]
-            P = _gather_panels(Lx, b)
+            w_pad = b.w_pad
+            P = gather_panels(Lx, b, N_L)
             D = linv[li][lb] if linv is not None else jnp.tril(P[:, :w_pad, :])
             cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
             ycols = jnp.take(y, cidx, mode="fill", fill_value=0)
             z = _lsolve(D, ycols, transpose=False)
             col_updates.append((cidx, z))
-            if b.below_idx.shape[1]:
+            if b.mb_pad:
                 L21 = P[:, w_pad:, :]
                 u = jnp.einsum("bij,bj->bi", L21, z,
                                preferred_element_type=dtype)
@@ -87,12 +84,12 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype, linv=None):
         buckets = arrays["levels"][li]
         col_updates = []
         for lb, b in enumerate(buckets):
-            w_pad = b.gather_idx.shape[2]
-            P = _gather_panels(Lx, b)
+            w_pad = b.w_pad
+            P = gather_panels(Lx, b, N_L)
             D = linv[li][lb] if linv is not None else jnp.tril(P[:, :w_pad, :])
             cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
             t = jnp.take(x, cidx, mode="fill", fill_value=0)
-            if b.below_idx.shape[1]:
+            if b.mb_pad:
                 L21 = P[:, w_pad:, :]
                 bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
                 xb = jnp.take(x, bidx, mode="fill", fill_value=0)
@@ -107,10 +104,11 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, dtype, linv=None):
     return x[arrays["iperm"]]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dtype"))
-def _solve_jit(arrays, Lx, rhs, d, linv, n, dtype):
+@functools.partial(jax.jit, static_argnames=("n", "N_L", "dtype"))
+def _solve_jit(arrays, Lx, rhs, d, linv, n, N_L, dtype):
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(arrays, Lx, rhs, d, n=n, dtype=dtype, linv=linv)
+        return _solve_impl(arrays, Lx, rhs, d, n=n, N_L=N_L, dtype=dtype,
+                           linv=linv)
 
 
 def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None, linv=None):
@@ -125,4 +123,5 @@ def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None, linv=None):
     dtype = jnp.dtype(plan.dtype)
     if d is None:
         d = jnp.ones((plan.n,), dtype=dtype)
-    return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, linv, plan.n, dtype)
+    return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, linv, plan.n,
+                      plan.N_L, dtype)

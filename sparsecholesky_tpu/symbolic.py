@@ -442,13 +442,15 @@ class SymbolicFactor:
     parent: np.ndarray          # etree over columns, int32[n]
     post: np.ndarray            # postorder, int32[n]
     counts: np.ndarray          # strict nnz per column of L, int64[n]
-    strict_Lp: np.ndarray       # strict pattern colptr, int64[n+1]
-    strict_Li: np.ndarray       # strict pattern row indices, int32[nnz]
     sn_ptr: np.ndarray          # supernode -> first column, int64[ns+1]
     sn_id: np.ndarray           # column -> supernode, int32[n]
     sn_rows: list[np.ndarray]   # per supernode sorted row union (int64)
     sparent: np.ndarray         # assembly tree, int32[ns]
     levels: list[np.ndarray]    # wavefront schedule over supernodes
+    # upper pattern of the analyzed matrix (for lazy strict-pattern fill)
+    A_indptr: np.ndarray | None = None
+    A_indices: np.ndarray | None = None
+    _strict: tuple | None = dataclasses.field(default=None, repr=False)
 
     @property
     def ns(self) -> int:
@@ -456,7 +458,33 @@ class SymbolicFactor:
 
     @property
     def strict_nnz(self) -> int:
-        return int(self.strict_Lp[-1])
+        return int(self.counts.sum())
+
+    def _strict_pattern(self) -> tuple[np.ndarray, np.ndarray]:
+        """Strict (non-supernodal) pattern of L, computed lazily: the
+        numeric path never needs it, only oracle/inspection consumers do."""
+        if self._strict is None:
+            if self.A_indptr is None:
+                raise SymbolicError("strict pattern unavailable: analysis "
+                                    "did not retain the input pattern")
+            A = CSCMatrix(self.n, self.A_indptr, self.A_indices,
+                          np.zeros(len(self.A_indices)), sym="upper")
+            try:
+                from . import _native
+
+                _, _, _, Lp, Li = _native.symbolic_pipeline(A)
+            except Exception:
+                Lp, Li = symbolic_pattern(A, self.parent, self.counts.copy())
+            self._strict = (Lp, Li)
+        return self._strict
+
+    @property
+    def strict_Lp(self) -> np.ndarray:
+        return self._strict_pattern()[0]
+
+    @property
+    def strict_Li(self) -> np.ndarray:
+        return self._strict_pattern()[1]
 
     def sn_width(self, s: int) -> int:
         return int(self.sn_ptr[s + 1] - self.sn_ptr[s])
@@ -495,29 +523,35 @@ def analyze(
     """Run the full symbolic phase. The reference's ``schol`` +
     ``compute_supernodes`` + ``atree`` + ``compute_levels`` pipeline
     (/root/reference/include/chol.hpp:874, /root/reference/src/chol.cpp),
-    executed once on host."""
+    executed once on host.
+
+    Fast path: the native engine's one-shot supernodal analysis, which
+    never materializes the strict pattern of L (its O(nnz L) scatter fill
+    dominates host time for large matrices); the strict pattern stays
+    available lazily via SymbolicFactor.strict_Lp/strict_Li."""
     try:
         from . import _native
 
-        parent, post, counts, Lp, Li = _native.symbolic_pipeline(A)
+        parent, post, counts, sn_ptr, rows = _native.supernodal_analyze(
+            A,
+            relax_ratio=relax_ratio if amalgamation else 0.0,
+            small=small if amalgamation else 0,
+            max_width=max_width if amalgamation else 1 << 30,
+            small_ratio=0.75 if amalgamation else 0.0,
+        )
+        sn_ptr = np.asarray(sn_ptr, dtype=np.int64)
     except Exception:
         parent = etree(A)
         post = post_order(parent)
         counts = col_count(A, parent, post)
         Lp, Li = symbolic_pattern(A, parent, counts)
-
-    sn_ptr, _ = fundamental_supernodes(Lp, parent)
-    try:
-        from . import _native
-
-        rows = _native.supernode_rows(Lp, Li, sn_ptr, A.n)
-    except Exception:
+        sn_ptr, _ = fundamental_supernodes(Lp, parent)
         rows = supernode_rows(Lp, Li, sn_ptr)
-    if amalgamation:
-        sn_ptr, rows = amalgamate(
-            sn_ptr, rows, parent,
-            relax_ratio=relax_ratio, small=small, max_width=max_width,
-        )
+        if amalgamation:
+            sn_ptr, rows = amalgamate(
+                sn_ptr, rows, parent,
+                relax_ratio=relax_ratio, small=small, max_width=max_width,
+            )
     ns = len(sn_ptr) - 1
     sn_id = np.zeros(A.n, dtype=INDEX_DTYPE)
     for s in range(ns):
@@ -529,11 +563,11 @@ def analyze(
         parent=np.asarray(parent, dtype=INDEX_DTYPE),
         post=np.asarray(post, dtype=INDEX_DTYPE),
         counts=np.asarray(counts, dtype=np.int64),
-        strict_Lp=np.asarray(Lp, dtype=np.int64),
-        strict_Li=np.asarray(Li, dtype=INDEX_DTYPE),
         sn_ptr=sn_ptr,
         sn_id=sn_id,
         sn_rows=rows,
         sparent=sparent,
         levels=levels,
+        A_indptr=np.asarray(A.indptr, dtype=np.int64),
+        A_indices=np.asarray(A.indices, dtype=INDEX_DTYPE),
     )

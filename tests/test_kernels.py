@@ -62,9 +62,12 @@ def test_full_factorization_pallas_backend(bcsstk01):
 
 @pytest.mark.parametrize("backend", ["pallas", "fused"])
 def test_backends_match_xla(backend):
+    # strict-upper diagonal-block slots are backend-private scratch (the
+    # Pallas kernel stashes minpiv there), so compare the extracted factor,
+    # not the raw block store
     A = generators.random_sparse(80, 0.2, seed=5)
     Fx = chol(A, backend="xla")
     Fp = chol(A, backend=backend)
     np.testing.assert_allclose(
-        np.asarray(Fp.Lx), np.asarray(Fx.Lx), atol=1e-11
+        Fp.L().to_dense(), Fx.L().to_dense(), atol=1e-11
     )
