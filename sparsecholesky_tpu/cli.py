@@ -73,7 +73,17 @@ def cmd_factorize(args):
     print(f"factorize (incl. symbolic + compile): {t:.3f}s")
     t0 = time.time()
     F.refactorize(A.data)
-    print(f"numeric refactorize (steady state): {(time.time()-t0)*1e3:.2f}ms")
+    dt = time.time() - t0
+    print(f"numeric refactorize (steady state): {dt*1e3:.2f}ms")
+    if args.profile:
+        from .utils.profiling import speed_of_light
+
+        print(json.dumps(speed_of_light(plan, dt), indent=2))
+    if args.save_plan:
+        from .serialize import save_plan
+
+        save_plan(args.save_plan, plan)
+        print(f"plan saved to {args.save_plan}")
     if args.verify:
         Ld = np.tril(F.L().to_dense())
         perm = plan.perm
@@ -135,12 +145,17 @@ def main(argv=None):
         sp.add_argument("--ordering", default="auto-grid",
                         choices=["natural", "rcm", "amd", "nd-grid", "auto", "auto-grid"])
         sp.add_argument("--dtype", default="float32")
-        sp.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+        sp.add_argument("--backend", default="xla",
+                        choices=["xla", "fused", "pallas"])
         sp.add_argument("--scale", action=argparse.BooleanOptionalAction, default=True)
 
     sp = sub.add_parser("factorize", help="symbolic + numeric factorization")
     common(sp)
     sp.add_argument("--verify", action="store_true")
+    sp.add_argument("--profile", action="store_true",
+                    help="print the roofline/speed-of-light report")
+    sp.add_argument("--save-plan", metavar="FILE.npz",
+                    help="serialize the compiled plan for later reuse")
     sp.set_defaults(fn=cmd_factorize)
 
     sp = sub.add_parser("solve", help="factorize + solve Ax=b")

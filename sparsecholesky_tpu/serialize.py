@@ -1,0 +1,179 @@
+"""Plan serialization: save/load the compiled factorization plan.
+
+The reference has no checkpoint/resume story (SURVEY.md §5); for sparse
+direct solvers the artifact worth persisting is the *symbolic plan* — the
+expensive host analysis — so a later process can numeric-factorize new
+values on the same pattern without re-running analysis (the schol/chol
+split as an on-disk contract).
+
+Format: a single .npz (numpy archive).  Every bucket array is stored under
+a "lev{i}/b{k}/<field>" key; list structure is reconstructed from a small
+integer header.  No pickle anywhere — the file is pure arrays and loads
+with allow_pickle=False.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .csc import INDEX_DTYPE
+from .plan import Bucket, FactorizePlan
+from .symbolic import SymbolicFactor
+
+_FORMAT_VERSION = 2
+
+
+def _bucket_fields(b: Bucket) -> dict:
+    out = {
+        "w_pad": np.int64(b.w_pad),
+        "mb_pad": np.int64(b.mb_pad),
+        "sn_ids": b.sn_ids,
+        "off": b.off,
+        "w": b.w,
+        "mb": b.mb,
+        "col_idx": b.col_idx,
+        "below_idx": b.below_idx,
+    }
+    if b.ucolbase is not None:
+        out.update(ucolbase=b.ucolbase, utw=b.utw, ug=b.ug, up=b.up)
+    return out
+
+
+def save_plan(path: str, plan: FactorizePlan) -> None:
+    """Serialize a FactorizePlan (including its SymbolicFactor) to .npz."""
+    S = plan.S
+    sn_row_off = np.zeros(S.ns + 1, dtype=np.int64)
+    sn_row_off[1:] = np.cumsum([len(r) for r in S.sn_rows])
+    sn_rows_flat = (
+        np.concatenate(S.sn_rows) if S.ns else np.zeros(0, dtype=np.int64)
+    )
+    lev_off = np.zeros(len(S.levels) + 1, dtype=np.int64)
+    lev_off[1:] = np.cumsum([len(l) for l in S.levels])
+    levels_flat = (
+        np.concatenate(S.levels) if S.levels else np.zeros(0, dtype=np.int64)
+    )
+
+    data = {
+        "format_version": np.int64(_FORMAT_VERSION),
+        "n": np.int64(plan.n),
+        "N_L": np.int64(plan.N_L),
+        "dtype": np.frombuffer(str(plan.dtype).encode(), dtype=np.uint8),
+        "perm": plan.perm,
+        "iperm": plan.iperm,
+        "block_off": plan.block_off,
+        "block_w": plan.block_w,
+        "block_m": plan.block_m,
+        "entry_slot": plan.entry_slot,
+        "entry_plo": plan.entry_plo,
+        "entry_phi": plan.entry_phi,
+        "diag_map": plan.diag_map,
+        # symbolic factor
+        "S/parent": S.parent,
+        "S/post": S.post,
+        "S/counts": S.counts,
+        "S/sn_ptr": S.sn_ptr,
+        "S/sn_id": S.sn_id,
+        "S/sn_row_off": sn_row_off,
+        "S/sn_rows_flat": sn_rows_flat,
+        "S/sparent": S.sparent,
+        "S/lev_off": lev_off,
+        "S/levels_flat": levels_flat,
+        "n_levels": np.int64(len(plan.levels)),
+        "buckets_per_level": np.asarray(
+            [len(l) for l in plan.levels], dtype=np.int64
+        ),
+    }
+    if S.A_indptr is not None:
+        data["S/A_indptr"] = S.A_indptr
+        data["S/A_indices"] = S.A_indices
+    for i, lev in enumerate(plan.levels):
+        for k, b in enumerate(lev):
+            for name, arr in _bucket_fields(b).items():
+                data[f"lev{i}/b{k}/{name}"] = arr
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **data)
+    os.replace(tmp, path)
+
+
+def load_plan(path: str) -> FactorizePlan:
+    """Load a FactorizePlan written by save_plan."""
+    z = np.load(path, allow_pickle=False)
+    ver = int(z["format_version"])
+    if ver != _FORMAT_VERSION:
+        raise ValueError(
+            f"plan file format {ver} != supported {_FORMAT_VERSION}"
+        )
+    sn_ptr = z["S/sn_ptr"]
+    ns = len(sn_ptr) - 1
+    sn_row_off = z["S/sn_row_off"]
+    flat = z["S/sn_rows_flat"]
+    sn_rows = [
+        flat[sn_row_off[s] : sn_row_off[s + 1]].astype(np.int64)
+        for s in range(ns)
+    ]
+    lev_off = z["S/lev_off"]
+    lflat = z["S/levels_flat"]
+    levels_sched = [
+        lflat[lev_off[i] : lev_off[i + 1]].astype(np.int64)
+        for i in range(len(lev_off) - 1)
+    ]
+    S = SymbolicFactor(
+        n=int(z["n"]),
+        parent=z["S/parent"].astype(INDEX_DTYPE),
+        post=z["S/post"].astype(INDEX_DTYPE),
+        counts=z["S/counts"],
+        sn_ptr=sn_ptr.astype(np.int64),
+        sn_id=z["S/sn_id"].astype(INDEX_DTYPE),
+        sn_rows=sn_rows,
+        sparent=z["S/sparent"].astype(INDEX_DTYPE),
+        levels=levels_sched,
+        A_indptr=z["S/A_indptr"] if "S/A_indptr" in z else None,
+        A_indices=(
+            z["S/A_indices"].astype(INDEX_DTYPE)
+            if "S/A_indices" in z
+            else None
+        ),
+    )
+    nlev = int(z["n_levels"])
+    bpl = z["buckets_per_level"]
+    levels = []
+    for i in range(nlev):
+        bl = []
+        for k in range(int(bpl[i])):
+            pre = f"lev{i}/b{k}/"
+            has_upd = pre + "ucolbase" in z
+            bl.append(
+                Bucket(
+                    w_pad=int(z[pre + "w_pad"]),
+                    mb_pad=int(z[pre + "mb_pad"]),
+                    sn_ids=z[pre + "sn_ids"],
+                    off=z[pre + "off"],
+                    w=z[pre + "w"],
+                    mb=z[pre + "mb"],
+                    col_idx=z[pre + "col_idx"],
+                    below_idx=z[pre + "below_idx"],
+                    ucolbase=z[pre + "ucolbase"] if has_upd else None,
+                    utw=z[pre + "utw"] if has_upd else None,
+                    ug=z[pre + "ug"] if has_upd else None,
+                    up=z[pre + "up"] if has_upd else None,
+                )
+            )
+        levels.append(bl)
+    return FactorizePlan(
+        S=S,
+        n=int(z["n"]),
+        N_L=int(z["N_L"]),
+        perm=z["perm"],
+        iperm=z["iperm"],
+        block_off=z["block_off"],
+        block_w=z["block_w"],
+        block_m=z["block_m"],
+        entry_slot=z["entry_slot"],
+        entry_plo=z["entry_plo"],
+        entry_phi=z["entry_phi"],
+        diag_map=z["diag_map"],
+        levels=levels,
+        dtype=np.dtype(bytes(z["dtype"]).decode()),
+    )
