@@ -91,28 +91,95 @@ jax.tree_util.register_pytree_node(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class _Run:
+    """One execution step group: kind='single' (one traced step) or
+    kind='scan' (stacked same-shape steps run under lax.scan).  ``kind`` is
+    pytree aux data, so it stays static under jit."""
+
+    kind: str
+    b: _BucketArrays
+
+
+jax.tree_util.register_pytree_node(
+    _Run,
+    lambda r: ((r.b,), r.kind),
+    lambda kind, children: _Run(kind, children[0]),
+)
+
+
+def _bucket_device(b) -> _BucketArrays:
+    return _BucketArrays(
+        off=jnp.asarray(b.off),
+        w=jnp.asarray(b.w),
+        mb=jnp.asarray(b.mb),
+        col_idx=jnp.asarray(b.col_idx),
+        below_idx=jnp.asarray(b.below_idx),
+        ucolbase=None if b.ucolbase is None else jnp.asarray(b.ucolbase),
+        utw=None if b.utw is None else jnp.asarray(b.utw),
+        ug=None if b.ug is None else jnp.asarray(b.ug),
+        up=None if b.up is None else jnp.asarray(b.up),
+    )
+
+
+def _bucket_sig(b) -> tuple:
+    """Static shape signature — steps with equal signatures can share one
+    compiled scan body."""
+    G = 0 if b.up is None else b.up.shape[2]
+    return (b.w_pad, b.mb_pad, len(b.sn_ids), G)
+
+
+def _stack_buckets(bs) -> _BucketArrays:
+    def st(get):
+        vals = [get(b) for b in bs]
+        if vals[0] is None:
+            return None
+        return jnp.asarray(np.stack(vals, axis=0))
+
+    return _BucketArrays(
+        off=st(lambda b: b.off),
+        w=st(lambda b: b.w),
+        mb=st(lambda b: b.mb),
+        col_idx=st(lambda b: b.col_idx),
+        below_idx=st(lambda b: b.below_idx),
+        ucolbase=st(lambda b: b.ucolbase),
+        utw=st(lambda b: b.utw),
+        ug=st(lambda b: b.ug),
+        up=st(lambda b: b.up),
+    )
+
+
+def build_runs(plan: FactorizePlan):
+    """Compress the linear step sequence (levels flattened in order) into
+    runs: maximal stretches of identically-shaped buckets become one
+    lax.scan over stacked plan arrays, everything else stays a single
+    traced step.  The linear order refines the wavefront level order, and
+    Schur updates only ever target strict assembly-tree ancestors (strictly
+    later levels), so full sequentialization is correct; on one chip XLA
+    executes the wavefront sequentially anyway.  This is what keeps the XLA
+    program size O(distinct shapes), not O(supernode buckets) — the root
+    chain of a large matrix alone contributes hundreds of same-shape steps.
+    """
+    steps = [b for lev in plan.levels for b in lev]
+    runs = []
+    i = 0
+    while i < len(steps):
+        sig = _bucket_sig(steps[i])
+        j = i + 1
+        while j < len(steps) and _bucket_sig(steps[j]) == sig:
+            j += 1
+        if j - i >= 2:
+            runs.append(_Run("scan", _stack_buckets(steps[i:j])))
+        else:
+            runs.append(_Run("single", _bucket_device(steps[i])))
+        i = j
+    return runs
+
+
 def device_arrays(plan: FactorizePlan):
     """Upload the plan's index maps once; reuse across factorize/solve calls."""
-    levels = []
-    for lev in plan.levels:
-        bl = []
-        for b in lev:
-            bl.append(
-                _BucketArrays(
-                    off=jnp.asarray(b.off),
-                    w=jnp.asarray(b.w),
-                    mb=jnp.asarray(b.mb),
-                    col_idx=jnp.asarray(b.col_idx),
-                    below_idx=jnp.asarray(b.below_idx),
-                    ucolbase=None if b.ucolbase is None else jnp.asarray(b.ucolbase),
-                    utw=None if b.utw is None else jnp.asarray(b.utw),
-                    ug=None if b.ug is None else jnp.asarray(b.ug),
-                    up=None if b.up is None else jnp.asarray(b.up),
-                )
-            )
-        levels.append(bl)
     return {
-        "levels": levels,
+        "runs": build_runs(plan),
         "entry_slot": jnp.asarray(plan.entry_slot.astype(np.int32)),
         "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
         "entry_phi": jnp.asarray(plan.entry_phi.astype(np.int32)),
@@ -310,20 +377,26 @@ def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str,
     Ax = Ax.astype(jnp.result_type(Ax.dtype))
     Lx, d = _initial_values(arrays, Ax, N_L=N_L, dtype=dtype, scale=scale)
 
+    def step(Lx, b):
+        w_pad, mb_pad = b.w_pad, b.mb_pad
+        gidx, sidx = panel_indices(b, N_L, w_pad=w_pad, mb_pad=mb_pad)
+        P = jnp.take(Lx, gidx, mode="fill", fill_value=0)
+        L, minpiv = _panel_factor(P, w_pad, backend)
+        Lx = Lx.at[sidx].set(L, mode="drop")
+        if mb_pad:
+            # Schur updates target strictly later levels (assembly-tree
+            # ancestors), never a peer, so immediate application is safe.
+            Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], N_L, dtype)
+        return Lx, minpiv
+
     minpivs = []
-    for buckets in arrays["levels"]:
-        for b in buckets:
-            w_pad, mb_pad = b.w_pad, b.mb_pad
-            gidx, sidx = panel_indices(b, N_L, w_pad=w_pad, mb_pad=mb_pad)
-            P = jnp.take(Lx, gidx, mode="fill", fill_value=0)
-            L, minpiv = _panel_factor(P, w_pad, backend)
-            minpivs.append(minpiv)
-            Lx = Lx.at[sidx].set(L, mode="drop")
-            if mb_pad:
-                # Schur updates target strictly later levels (assembly-tree
-                # ancestors), never a peer of this level, so applying them
-                # immediately is safe and keeps transient buffers small.
-                Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], N_L, dtype)
+    for r in arrays["runs"]:
+        if r.kind == "single":
+            Lx, mp = step(Lx, r.b)
+            minpivs.append(mp)
+        else:
+            Lx, mps = jax.lax.scan(step, Lx, r.b)
+            minpivs.append(mps.reshape(-1))
     minpiv_flat = (
         jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
     )
@@ -398,20 +471,22 @@ def refactorize(plan: FactorizePlan, Ax, arrays, **kw):
 
 
 def _diag_inverses_impl(arrays, Lx, *, N_L: int, dtype):
+    def one(b):
+        w_pad = b.w_pad
+        gidx, _ = panel_indices(b, N_L, w_pad=w_pad, mb_pad=0)
+        P11 = jnp.take(Lx, gidx, mode="fill", fill_value=0)
+        L11 = jnp.tril(P11)
+        eye = jnp.broadcast_to(jnp.eye(w_pad, dtype=dtype), P11.shape)
+        return jax.lax.linalg.triangular_solve(
+            L11, eye, left_side=True, lower=True
+        )
+
     out = []
-    for buckets in arrays["levels"]:
-        bl = []
-        for b in buckets:
-            w_pad = b.w_pad
-            gidx, _ = panel_indices(b, N_L, w_pad=w_pad, mb_pad=0)
-            P11 = jnp.take(Lx, gidx, mode="fill", fill_value=0)
-            L11 = jnp.tril(P11)
-            eye = jnp.broadcast_to(jnp.eye(w_pad, dtype=dtype), P11.shape)
-            inv = jax.lax.linalg.triangular_solve(
-                L11, eye, left_side=True, lower=True
-            )
-            bl.append(inv)
-        out.append(bl)
+    for r in arrays["runs"]:
+        if r.kind == "single":
+            out.append(one(r.b))
+        else:
+            out.append(jax.lax.scan(lambda c, b: (c, one(b)), 0, r.b)[1])
     return out
 
 

@@ -2,21 +2,23 @@
 
 The reference never solves Ax=b (SURVEY.md: "no solve routine"); this is a
 required capability of the TPU framework (BASELINE.json config 1/2).  The
-solve reuses the factorization plan's wavefront schedule and panel gathers:
+solve reuses the factorization plan's step sequence (numeric.build_runs) —
+same-shape stretches execute as one lax.scan:
 
-  forward  (L y = b):  per level, per bucket:
-      z = L11^{-1} y[cols]           (batched triangular solve)
+  forward  (L y = b), steps in plan order:
+      z = L11^{-1} y[cols]           (batched triangular solve / MXU matmul
+                                      against precomputed inverses)
       y[below] -= L21 @ z            (batched matvec + scatter-add)
       y[cols]  = z
-  backward (L^T x = y): levels reversed:
+  backward (L^T x = y), steps reversed:
       v = L21^T @ x[below]
       x[cols] = L11^{-T} (y[cols] - v)
 
-Correctness follows from the same level-schedule argument as the
-factorization (SURVEY.md §2c): a supernode's columns depend only on strict
-assembly-tree descendants (earlier levels) in the forward pass and strict
-ancestors (later levels, processed first when reversed) in the backward
-pass; supernodes within a level touch disjoint column sets.
+Correctness follows from the wavefront argument (SURVEY.md §2c): in the
+forward pass a supernode's columns depend only on strict assembly-tree
+descendants (strictly earlier steps), and its below-rows belong to strict
+ancestors (strictly later steps), so immediate per-step commits never
+interfere; the backward pass is the mirror image.
 
 Identity padding makes everything maskless: padded columns solve to 0,
 padded rows gather 0 and scatter to the dropped slot.
@@ -38,8 +40,8 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
     index order: applies perm and the equilibration d (the stored factor is
     of D (P A P^T) D, so x = P^T D L^-T L^-1 D P rhs), then iperm.
 
-    ``linv`` (nested per-level/bucket list from numeric.diag_inverses)
-    replaces the loop-lowered triangular solves with batched MXU matmuls.
+    ``linv`` (run-aligned list from numeric.diag_inverses) replaces the
+    loop-lowered triangular solves with batched MXU matmuls.
     """
     perm = arrays["perm"]
     rhs = rhs.astype(dtype)
@@ -53,52 +55,61 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
             D, t[..., None], left_side=True, lower=True, transpose_a=transpose
         )[..., 0]
 
-    # ---- forward: L y = b ----
-    for li, buckets in enumerate(arrays["levels"]):
-        col_updates = []
-        below_updates = []
-        for lb, b in enumerate(buckets):
-            w_pad = b.w_pad
-            P = gather_panels(Lx, b, N_L)
-            D = linv[li][lb] if linv is not None else jnp.tril(P[:, :w_pad, :])
-            cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
-            ycols = jnp.take(y, cidx, mode="fill", fill_value=0)
-            z = _lsolve(D, ycols, transpose=False)
-            col_updates.append((cidx, z))
-            if b.mb_pad:
-                L21 = P[:, w_pad:, :]
-                u = jnp.einsum("bij,bj->bi", L21, z,
+    def fstep(y, b, Dinv):
+        w_pad = b.w_pad
+        P = gather_panels(Lx, b, N_L)
+        D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
+        cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
+        ycols = jnp.take(y, cidx, mode="fill", fill_value=0)
+        z = _lsolve(D, ycols, transpose=False)
+        y = y.at[cidx].set(z, mode="drop")
+        if b.mb_pad:
+            L21 = P[:, w_pad:, :]
+            u = jnp.einsum("bij,bj->bi", L21, z, preferred_element_type=dtype)
+            bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
+            y = y.at[bidx].add(-u, mode="drop")
+        return y
+
+    def bstep(x, b, Dinv):
+        w_pad = b.w_pad
+        P = gather_panels(Lx, b, N_L)
+        D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
+        cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
+        t = jnp.take(x, cidx, mode="fill", fill_value=0)
+        if b.mb_pad:
+            L21 = P[:, w_pad:, :]
+            bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
+            xb = jnp.take(x, bidx, mode="fill", fill_value=0)
+            t = t - jnp.einsum("bij,bi->bj", L21, xb,
                                preferred_element_type=dtype)
-                below_updates.append((jnp.where(b.below_idx < 0, n, b.below_idx), u))
-        # batched commit: cols are disjoint within a level; below-updates
-        # accumulate into strictly-later levels' rows
-        for idx, z in col_updates:
-            y = y.at[idx].set(z, mode="drop")
-        for idx, u in below_updates:
-            y = y.at[idx].add(-u, mode="drop")
+        z = _lsolve(D, t, transpose=True)
+        return x.at[cidx].set(z, mode="drop")
+
+    runs = arrays["runs"]
+    lv = linv if linv is not None else [None] * len(runs)
+
+    # ---- forward: L y = b ----
+    for r, Dinv in zip(runs, lv):
+        if r.kind == "single":
+            y = fstep(y, r.b, Dinv)
+        else:
+            xs = (r.b, Dinv) if Dinv is not None else (r.b,)
+            y = jax.lax.scan(
+                lambda c, x: (fstep(c, x[0], x[1] if len(x) > 1 else None), 0),
+                y, xs,
+            )[0]
 
     # ---- backward: L^T x = y ----
     x = y
-    nlev = len(arrays["levels"])
-    for li in range(nlev - 1, -1, -1):
-        buckets = arrays["levels"][li]
-        col_updates = []
-        for lb, b in enumerate(buckets):
-            w_pad = b.w_pad
-            P = gather_panels(Lx, b, N_L)
-            D = linv[li][lb] if linv is not None else jnp.tril(P[:, :w_pad, :])
-            cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
-            t = jnp.take(x, cidx, mode="fill", fill_value=0)
-            if b.mb_pad:
-                L21 = P[:, w_pad:, :]
-                bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
-                xb = jnp.take(x, bidx, mode="fill", fill_value=0)
-                t = t - jnp.einsum("bij,bi->bj", L21, xb,
-                                   preferred_element_type=dtype)
-            z = _lsolve(D, t, transpose=True)
-            col_updates.append((cidx, z))
-        for idx, z in col_updates:
-            x = x.at[idx].set(z, mode="drop")
+    for r, Dinv in zip(reversed(runs), reversed(lv)):
+        if r.kind == "single":
+            x = bstep(x, r.b, Dinv)
+        else:
+            xs = (r.b, Dinv) if Dinv is not None else (r.b,)
+            x = jax.lax.scan(
+                lambda c, t: (bstep(c, t[0], t[1] if len(t) > 1 else None), 0),
+                x, xs, reverse=True,
+            )[0]
 
     x = x * d
     return x[arrays["iperm"]]
