@@ -38,7 +38,7 @@ class CholeskyFactor:
 
     plan: FactorizePlan
     arrays: dict
-    Lx: object   # device array, block store (N_L + 1 slots), factor of D A D
+    Lx: object   # device array, [R_L, 128] block store, factor of D A D
     d: object    # device array [n], equilibration vector (ones if unscaled)
     A: CSCMatrix | None = None  # original matrix (for refinement residuals)
     backend: str = "xla"
@@ -50,7 +50,7 @@ class CholeskyFactor:
             import jax.numpy as jnp
 
             self._linv = _numeric.diag_inverses(
-                self.arrays, self.Lx, self.plan.N_L, jnp.dtype(self.plan.dtype)
+                self.arrays, self.Lx, self.plan.R_L, jnp.dtype(self.plan.dtype)
             )
         return self._linv
 
@@ -96,7 +96,7 @@ class CholeskyFactor:
 
         The stored factor is of D A D; rows are unscaled by 1/d so that
         L @ L.T == P A P^T exactly like the reference's output."""
-        Lx = np.asarray(self.Lx[: self.plan.N_L]).astype(np.float64)
+        Lx = np.asarray(self.Lx).astype(np.float64)
         dinv = 1.0 / np.asarray(self.d, dtype=np.float64)
         return self.plan.extract_csc(Lx, row_scale=dinv)
 
@@ -117,9 +117,9 @@ class CholeskyFactor:
         out = np.empty(self.plan.n, dtype=np.float64)
         for s in range(S.ns):
             w = int(self.plan.block_w[s])
-            off = int(self.plan.block_off[s])
+            r0 = int(self.plan.row_off[s])
             jj = np.arange(w)
-            out[int(S.sn_ptr[s]) + jj] = Lx[off + jj * w + jj]
+            out[int(S.sn_ptr[s]) + jj] = Lx[r0 + jj, jj]
         return out
 
     def refactorize(self, Ax) -> "CholeskyFactor":

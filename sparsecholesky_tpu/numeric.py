@@ -6,19 +6,21 @@ The TPU-native replacement for the reference's numeric layer: the
 /root/reference/include/chol.hpp:1232-1335) and the ``apply_update``
 Schur scatter (/root/reference/include/chol.hpp:1196-1216).
 
-Execution model (see plan.py for the data layout):
-  * the wavefront over assembly-tree levels is *traced* — each level is a
-    handful of batched ops; within a level all supernodes of one padded
-    shape go through a single batched panel factorization;
-  * panel gather/scatter index grids are affine in the block store and are
-    computed on device from three scalars per supernode (off/w/mb) with
-    broadcasted iota — HBM holds only the factor and O(small) plan arrays;
+Execution model (see plan.py for the lane-aligned data layout):
+  * the wavefront over assembly-tree levels is *traced*; same-shape step
+    stretches execute as one lax.scan (build_runs), keeping the XLA program
+    O(distinct shapes);
+  * every indexed access is ROW-granular on the [R_L, 128] store — panel
+    row indices are affine in one scalar per supernode and computed on
+    device with broadcasted iota (element-granular gather/scatter runs
+    ~1000x below HBM bandwidth on TPU; whole-row access runs near it);
   * panel factorize = batched dense Cholesky of the w_pad x w_pad diagonal
     block (MXU via XLA, or the fused Pallas kernel in ops/panel_chol.py)
     + batched triangular solve for the below-block;
-  * trailing update = one batched SYRK (pure MXU matmul) + one
-    deterministic scatter-add through the factored update map, replacing
-    the reference's racy sparse ``apply_update`` (SURVEY.md §2c item 5);
+  * trailing update = lane-aligned extend-add (plan.py): place L21 rows
+    into per-ancestor workspaces (row scatter), one MXU matmul per ancestor
+    group producing already-lane-aligned update rows, one row scatter-add —
+    replacing the reference's racy sparse ``apply_update`` (SURVEY.md §2c);
   * non-positive-definiteness is detected per supernode and reported after
     the (fully static) factorization completes, with supernode id, column
     range and pivot — matching the reference's detailed dpotrf-info message
@@ -40,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .errors import NotPositiveDefiniteError
-from .plan import FactorizePlan
+from .plan import FactorizePlan, LANE
 
 # ---------------------------------------------------------------------------
 # Device-side plan arrays (a pytree mirroring the bucket structure)
@@ -48,20 +50,22 @@ from .plan import FactorizePlan
 
 @dataclasses.dataclass(frozen=True)
 class _BucketArrays:
-    off: jax.Array          # [B] (or [ndev, B] sharded)
+    row0: jax.Array         # [B] (or [ndev, B] sharded)
     w: jax.Array
     mb: jax.Array
     col_idx: jax.Array      # [B, w_pad]
     below_idx: jax.Array    # [B, mb_pad]
-    ucolbase: jax.Array | None
-    utw: jax.Array | None
-    ug: jax.Array | None
+    ug: jax.Array | None    # [B, mb_pad]
+    ujloc: jax.Array | None
     up: jax.Array | None    # [B, mb_pad, G_pad]
+    urow0: jax.Array | None  # [B, G_pad]
+    uj0: jax.Array | None    # [B, G_pad]
+    uG: jax.Array | None     # [B]
 
     def tree_flatten(self):
         return (
-            self.off, self.w, self.mb, self.col_idx, self.below_idx,
-            self.ucolbase, self.utw, self.ug, self.up,
+            self.row0, self.w, self.mb, self.col_idx, self.below_idx,
+            self.ug, self.ujloc, self.up, self.urow0, self.uj0, self.uG,
         ), None
 
     @classmethod
@@ -76,14 +80,14 @@ class _BucketArrays:
     def mb_pad(self) -> int:
         return self.below_idx.shape[-1]
 
+    @property
+    def g_pad(self) -> int:
+        return 0 if self.up is None else self.up.shape[-1]
+
     def index_leading(self, i):
         """Strip a leading device axis (sharded layouts)."""
         take = lambda a: None if a is None else a[i]
-        return _BucketArrays(
-            take(self.off), take(self.w), take(self.mb),
-            take(self.col_idx), take(self.below_idx),
-            take(self.ucolbase), take(self.utw), take(self.ug), take(self.up),
-        )
+        return _BucketArrays(*[take(c) for c in self.tree_flatten()[0]])
 
 
 jax.tree_util.register_pytree_node(
@@ -92,34 +96,20 @@ jax.tree_util.register_pytree_node(
 
 
 @dataclasses.dataclass(frozen=True)
-class _Run:
-    """One execution step group: kind='single' (one traced step) or
-    kind='scan' (stacked same-shape steps run under lax.scan).  ``kind`` is
-    pytree aux data, so it stays static under jit."""
+class _Static:
+    """Hashable static payload carried through a jit argument pytree as
+    aux data (no array leaves)."""
 
-    kind: str
-    b: _BucketArrays
+    value: tuple
 
 
 jax.tree_util.register_pytree_node(
-    _Run,
-    lambda r: ((r.b,), r.kind),
-    lambda kind, children: _Run(kind, children[0]),
+    _Static, lambda s: ((), s.value), lambda v, c: _Static(v)
 )
 
 
-def _bucket_device(b) -> _BucketArrays:
-    return _BucketArrays(
-        off=jnp.asarray(b.off),
-        w=jnp.asarray(b.w),
-        mb=jnp.asarray(b.mb),
-        col_idx=jnp.asarray(b.col_idx),
-        below_idx=jnp.asarray(b.below_idx),
-        ucolbase=None if b.ucolbase is None else jnp.asarray(b.ucolbase),
-        utw=None if b.utw is None else jnp.asarray(b.utw),
-        ug=None if b.ug is None else jnp.asarray(b.ug),
-        up=None if b.up is None else jnp.asarray(b.up),
-    )
+_FIELDS = ("row0", "w", "mb", "col_idx", "below_idx",
+           "ug", "ujloc", "up", "urow0", "uj0", "uG")
 
 
 def _bucket_sig(b) -> tuple:
@@ -129,23 +119,11 @@ def _bucket_sig(b) -> tuple:
     return (b.w_pad, b.mb_pad, len(b.sn_ids), G)
 
 
-def _stack_buckets(bs) -> _BucketArrays:
-    def st(get):
-        vals = [get(b) for b in bs]
-        if vals[0] is None:
-            return None
-        return jnp.asarray(np.stack(vals, axis=0))
-
-    return _BucketArrays(
-        off=st(lambda b: b.off),
-        w=st(lambda b: b.w),
-        mb=st(lambda b: b.mb),
-        col_idx=st(lambda b: b.col_idx),
-        below_idx=st(lambda b: b.below_idx),
-        ucolbase=st(lambda b: b.ucolbase),
-        utw=st(lambda b: b.utw),
-        ug=st(lambda b: b.ug),
-        up=st(lambda b: b.up),
+def _np_fields(b) -> dict:
+    return dict(
+        row0=b.row0, w=b.w, mb=b.mb, col_idx=b.col_idx,
+        below_idx=b.below_idx, ug=b.ug, ujloc=b.ujloc, up=b.up,
+        urow0=b.urow0, uj0=b.uj0, uG=b.uG,
     )
 
 
@@ -159,28 +137,73 @@ def build_runs(plan: FactorizePlan):
     executes the wavefront sequentially anyway.  This is what keeps the XLA
     program size O(distinct shapes), not O(supernode buckets) — the root
     chain of a large matrix alone contributes hundreds of same-shape steps.
+
+    Returns (flat, meta): ``flat`` maps each bucket field to ONE
+    concatenated int32 device array; ``meta`` is a static (hashable) tuple
+    of per-run (kind, field->(offset, shape)) specs.  Keeping the jit
+    argument count O(1) instead of O(buckets) matters: thousand-leaf
+    pytrees trip XLA's tuple-parameter flattening and slow dispatch.
     """
     steps = [b for lev in plan.levels for b in lev]
-    runs = []
+    chunks = {f: [] for f in _FIELDS}
+    offs = {f: 0 for f in _FIELDS}
+    meta = []
     i = 0
     while i < len(steps):
         sig = _bucket_sig(steps[i])
         j = i + 1
         while j < len(steps) and _bucket_sig(steps[j]) == sig:
             j += 1
-        if j - i >= 2:
-            runs.append(_Run("scan", _stack_buckets(steps[i:j])))
-        else:
-            runs.append(_Run("single", _bucket_device(steps[i])))
+        group = steps[i:j]
+        kind = "scan" if j - i >= 2 else "single"
+        spec = {}
+        for f in _FIELDS:
+            vals = [_np_fields(b)[f] for b in group]
+            if vals[0] is None:
+                spec[f] = None
+                continue
+            arr = np.stack(vals, axis=0) if kind == "scan" else vals[0]
+            chunks[f].append(np.ascontiguousarray(arr, dtype=np.int32).ravel())
+            spec[f] = (offs[f], arr.shape)
+            offs[f] += arr.size
+        meta.append((kind, tuple(sorted(spec.items()))))
         i = j
-    return runs
+    flat = {
+        f: jnp.asarray(
+            np.concatenate(chunks[f]) if chunks[f] else np.zeros(0, np.int32)
+        )
+        for f in _FIELDS
+    }
+    return flat, tuple(meta)
+
+
+def unpack_run(flat, rmeta) -> tuple[str, _BucketArrays]:
+    """Rebuild one run's _BucketArrays from the flat buffers via static
+    slices (free at compile time)."""
+    kind, spec = rmeta
+    fields = {}
+    for f, fs in spec:
+        if fs is None:
+            fields[f] = None
+        else:
+            off, shape = fs
+            size = int(np.prod(shape))
+            fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
+    return kind, _BucketArrays(**fields)
 
 
 def device_arrays(plan: FactorizePlan):
-    """Upload the plan's index maps once; reuse across factorize/solve calls."""
+    """Upload the plan's index maps once; reuse across factorize/solve calls.
+
+    The run metadata (static) rides inside the dict as pytree aux data via
+    _Static, so the whole dict remains a valid jit argument with O(1)
+    leaves."""
+    flat, meta = build_runs(plan)
     return {
-        "runs": build_runs(plan),
-        "entry_slot": jnp.asarray(plan.entry_slot.astype(np.int32)),
+        "flat": flat,
+        "meta": _Static(meta),
+        "entry_row": jnp.asarray(plan.entry_row.astype(np.int32)),
+        "entry_lane": jnp.asarray(plan.entry_lane.astype(np.int32)),
         "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
         "entry_phi": jnp.asarray(plan.entry_phi.astype(np.int32)),
         "diag_map": jnp.asarray(plan.diag_map.astype(np.int32)),
@@ -189,84 +212,108 @@ def device_arrays(plan: FactorizePlan):
     }
 
 
+def iter_runs(arrays):
+    for rmeta in arrays["meta"].value:
+        yield unpack_run(arrays["flat"], rmeta)
+
+
 # ---------------------------------------------------------------------------
-# Affine panel index grids (device-computed; see plan.py layout)
+# Affine panel row grids (device-computed; see plan.py layout)
 
 
-def panel_indices(b: _BucketArrays, N_L: int, *, w_pad: int, mb_pad: int):
-    """(gather_idx, scatter_idx) int32[B, w_pad+mb_pad, w_pad] for a bucket.
+def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int):
+    """int32[B, w_pad + mb_pad] store-row indices of each assembled panel.
 
-    Gather: diagonal-block rows map to slot off + i*w + j, identity-padding
-    rows map to the permanent ones slot N_L, everything else to the
-    out-of-bounds slot (reads 0 via mode='fill', drops via mode='drop').
-    Scatter: same affine slots for valid positions only (identity rows
-    dropped).  The strict-upper slots of the diagonal block ARE written —
-    they are meaningless scratch that every reader masks with tril, which
-    lets kernels stash per-panel scalars there (ops/panel_chol.py).
-    """
+    Rows [0, w) -> the supernode's own block rows; identity-padding rows
+    [w, w_pad) and below padding -> the out-of-bounds row R_L (gathers fill
+    0, scatters drop)."""
+    m_pad = w_pad + mb_pad
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+    r0 = b.row0[:, None]
+    wb = b.w[:, None]
+    mbb = b.mb[:, None]
+    diag = ii < wb
+    below = (ii >= w_pad) & (ii - w_pad < mbb)
+    return jnp.where(
+        diag, r0 + ii,
+        jnp.where(below, r0 + wb + (ii - w_pad), jnp.int32(R_L)),
+    )
+
+
+def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None):
+    """[B, m_pad, w_pad] assembled panels: row-gather + arithmetic identity
+    padding (P[i, i] += 1 for i in [w, w_pad))."""
+    w_pad = b.w_pad
+    mb_pad = b.mb_pad if mb_pad is None else mb_pad
+    ridx = panel_rows(b, R_L, w_pad=w_pad, mb_pad=mb_pad)
+    P = jnp.take(Lx, ridx, axis=0, mode="fill", fill_value=0)[:, :, :w_pad]
     m_pad = w_pad + mb_pad
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad, 1), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_pad), 2)
-    offb = b.off[:, None, None]
     wb = b.w[:, None, None]
-    mbb = b.mb[:, None, None]
-    r = jnp.where(ii < w_pad, ii, ii - w_pad + wb)
-    valid = (jj < wb) & ((ii < wb) | ((ii >= w_pad) & (ii - w_pad < mbb)))
-    slot = offb + r * wb + jj
     ident = (ii >= wb) & (ii < w_pad) & (jj == ii)
-    oob = jnp.int32(N_L + 1)
-    gidx = jnp.where(valid, slot, jnp.where(ident, jnp.int32(N_L), oob))
-    sidx = jnp.where(valid, slot, oob)
-    return gidx, sidx
+    return P + ident.astype(P.dtype)
 
 
-def update_indices(b: _BucketArrays, N_L: int, i0=0, i1=None, j0=0, j1=None):
-    """int32[B, i1-i0, j1-j0] Schur-update target slots for the given tile
-    of the below-rows clique (lower triangle; everything else
-    out-of-bounds -> dropped)."""
-    mb_pad = b.mb_pad
-    i1 = mb_pad if i1 is None else i1
-    j1 = mb_pad if j1 is None else j1
-    pos = jnp.take_along_axis(
-        b.up[:, i0:i1, :], b.ug[:, None, j0:j1], axis=2
-    )  # [B, i, j]
-    idx = b.ucolbase[:, None, j0:j1] + pos * b.utw[:, None, j0:j1]
-    ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, i1 - i0, 1), 1)
-    jj = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, j1 - j0), 2)
-    mbb = b.mb[:, None, None]
-    valid = (ii >= jj) & (ii < mbb) & (jj < mbb)
-    return jnp.where(valid, idx, jnp.int32(N_L + 1))
+def scatter_panels(Lx, b: _BucketArrays, L, R_L: int):
+    """Write factored panels back: one row-scatter.  Lanes beyond w_pad are
+    zero-filled (the store's dead lanes stay zero); identity/padding rows
+    map out of bounds and drop."""
+    w_pad = b.w_pad
+    ridx = panel_rows(b, R_L, w_pad=w_pad, mb_pad=b.mb_pad)
+    if w_pad < LANE:
+        L = jnp.pad(L, ((0, 0), (0, 0), (0, LANE - w_pad)))
+    return Lx.at[ridx].set(L, mode="drop")
 
 
-# Tile edge for Schur updates: below-blocks taller than this are updated in
-# (ti >= tj) tile pairs, bounding transient memory to B*UPDATE_TILE^2 and
-# skipping the strictly-upper half of the symmetric product.
-UPDATE_TILE = 2048
+# Tile edge for Schur updates: the per-ancestor update matmul and its row
+# scatter-add are chunked over below rows to bound transient memory.
+UPDATE_TILE = 1024
 
 
-def apply_schur_update(Lx, b: _BucketArrays, L21, N_L: int, dtype):
-    """Lx -= scatter(L21 @ L21^T) over the bucket's update map (tiled)."""
-    mb_pad = b.mb_pad
-    if mb_pad <= UPDATE_TILE:
-        C = jnp.einsum("bik,bjk->bij", L21, L21, preferred_element_type=dtype)
-        return Lx.at[update_indices(b, N_L)].add(-C, mode="drop")
-    ntile = -(-mb_pad // UPDATE_TILE)
-    for ti in range(ntile):
-        i0, i1 = ti * UPDATE_TILE, min(mb_pad, (ti + 1) * UPDATE_TILE)
-        for tj in range(ti + 1):
-            j0, j1 = tj * UPDATE_TILE, min(mb_pad, (tj + 1) * UPDATE_TILE)
-            C = jnp.einsum(
-                "bik,bjk->bij", L21[:, i0:i1], L21[:, j0:j1],
-                preferred_element_type=dtype,
-            )
-            idx = update_indices(b, N_L, i0, i1, j0, j1)
-            Lx = Lx.at[idx].add(-C, mode="drop")
+def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype):
+    """Lane-aligned extend-add (see plan.py):
+
+      V[b, g, lane, :]   = L21[b, j, :]  at lane ujloc(j), group ug(j)
+      C[b, g, i, lane]   = L21[b, i, :] . V[b, g, lane, :]   (MXU)
+      store_row(urow0[g] + up[i, g])    -= C[b, g, i, :]     (row scatter)
+
+    Terms with r_i < r_j land on strict-upper scratch; rows with no valid
+    pair (i < uj0[g]) or padded groups (g >= uG) mask to out-of-bounds.
+    """
+    B, mb_pad, w_pad = L21.shape
+    G_pad = b.g_pad
+
+    # -- workspace placement: one row-scatter of L21's rows ---------------
+    nV = B * G_pad * LANE
+    bi = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, mb_pad), 1)
+    vrow = bi * (G_pad * LANE) + b.ug * LANE + b.ujloc
+    vrow = jnp.where(jj < b.mb[:, None], vrow, jnp.int32(nV))
+    V = jnp.zeros((nV, w_pad), dtype=dtype)
+    V = V.at[vrow.reshape(-1)].set(L21.reshape(-1, w_pad), mode="drop")
+    V = V.reshape(B, G_pad, LANE, w_pad)
+
+    gg = jax.lax.broadcasted_iota(jnp.int32, (1, G_pad, 1), 1)
+    for i0 in range(0, mb_pad, UPDATE_TILE):
+        i1 = min(mb_pad, i0 + UPDATE_TILE)
+        C = jnp.einsum(
+            "bik,bgck->bgic", L21[:, i0:i1], V,
+            preferred_element_type=dtype,
+        )                                           # [B, G, t, LANE]
+        pos = jnp.swapaxes(b.up[:, i0:i1, :], 1, 2)  # [B, G, t]
+        rows = b.urow0[:, :, None] + pos
+        ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, i1 - i0), 2)
+        valid = (
+            (ii >= b.uj0[:, :, None])
+            & (ii < b.mb[:, None, None])
+            & (gg < b.uG[:, None, None])
+        )
+        rows = jnp.where(valid, rows, jnp.int32(R_L))
+        Lx = Lx.at[rows.reshape(-1)].add(
+            -C.reshape(-1, LANE), mode="drop"
+        )
     return Lx
-
-
-def gather_panels(Lx, b: _BucketArrays, N_L: int):
-    gidx, _ = panel_indices(b, N_L, w_pad=b.w_pad, mb_pad=b.mb_pad)
-    return jnp.take(Lx, gidx, mode="fill", fill_value=0)
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +327,7 @@ def _panel_factor_xla(P: jax.Array, w_pad: int):
     Returns (L_panel [same shape], minpiv [B]).
     """
     P11 = P[:, :w_pad, :]
-    # symmetrize the lower-stored diagonal block (upper slots gather as 0)
+    # symmetrize the lower-stored diagonal block (upper slots are scratch)
     P11 = jnp.tril(P11) + jnp.swapaxes(jnp.tril(P11, -1), -1, -2)
     L11 = jnp.linalg.cholesky(P11)
     # XLA cholesky yields NaN rows on non-PD input; surface via min diag.
@@ -344,11 +391,9 @@ def _panel_factor(P, w_pad, backend: str):
 # Factorization driver
 
 
-def _initial_values(arrays, Ax, *, N_L: int, dtype, scale: bool):
-    """Scatter A's entries into the zero block store; returns (Lx, d).
-    Lx has N_L + 1 slots: N_L real plus the permanent-one slot N_L.  Masked
-    positions use index N_L + 1, which is OUT OF BOUNDS by construction:
-    gathers fill 0 (mode='fill'), scatters drop (mode='drop')."""
+def _initial_values(arrays, Ax, *, R_L: int, dtype, scale: bool):
+    """Scatter A's entries into the zeroed [R_L, LANE] block store.
+    Returns (Lx, d)."""
     if scale:
         diag = Ax[arrays["diag_map"]]
         d = jax.lax.rsqrt(jnp.abs(diag))
@@ -358,13 +403,14 @@ def _initial_values(arrays, Ax, *, N_L: int, dtype, scale: bool):
         d = jnp.ones((arrays["diag_map"].shape[0],), dtype=dtype)
         vals = Ax
     vals = vals.astype(dtype)
-    Lx = jnp.zeros((N_L + 1,), dtype=dtype)
-    Lx = Lx.at[N_L].set(1.0)
-    Lx = Lx.at[arrays["entry_slot"]].add(vals, mode="drop")
+    Lx = jnp.zeros((R_L, LANE), dtype=dtype)
+    Lx = Lx.at[arrays["entry_row"], arrays["entry_lane"]].add(
+        vals, mode="drop"
+    )
     return Lx, d
 
 
-def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str,
+def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
                     scale: bool = False):
     """Pure jittable numeric factorization.
     Returns (Lx, minpiv_flat, d) where d is the symmetric Jacobi
@@ -375,27 +421,26 @@ def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str,
     reference never needed.
     """
     Ax = Ax.astype(jnp.result_type(Ax.dtype))
-    Lx, d = _initial_values(arrays, Ax, N_L=N_L, dtype=dtype, scale=scale)
+    Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
 
     def step(Lx, b):
         w_pad, mb_pad = b.w_pad, b.mb_pad
-        gidx, sidx = panel_indices(b, N_L, w_pad=w_pad, mb_pad=mb_pad)
-        P = jnp.take(Lx, gidx, mode="fill", fill_value=0)
+        P = gather_panels(Lx, b, R_L)
         L, minpiv = _panel_factor(P, w_pad, backend)
-        Lx = Lx.at[sidx].set(L, mode="drop")
+        Lx = scatter_panels(Lx, b, L, R_L)
         if mb_pad:
             # Schur updates target strictly later levels (assembly-tree
             # ancestors), never a peer, so immediate application is safe.
-            Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], N_L, dtype)
+            Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype)
         return Lx, minpiv
 
     minpivs = []
-    for r in arrays["runs"]:
-        if r.kind == "single":
-            Lx, mp = step(Lx, r.b)
+    for kind, rb in iter_runs(arrays):
+        if kind == "single":
+            Lx, mp = step(Lx, rb)
             minpivs.append(mp)
         else:
-            Lx, mps = jax.lax.scan(step, Lx, r.b)
+            Lx, mps = jax.lax.scan(step, Lx, rb)
             minpivs.append(mps.reshape(-1))
     minpiv_flat = (
         jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
@@ -404,16 +449,16 @@ def _factorize_impl(arrays, Ax, *, N_L: int, dtype, backend: str,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("N_L", "dtype", "backend", "scale")
+    jax.jit, static_argnames=("R_L", "dtype", "backend", "scale")
 )
-def _factorize_jit(arrays, Ax, N_L, dtype, backend, scale):
+def _factorize_jit(arrays, Ax, R_L, dtype, backend, scale):
     # TPU matmuls default to bfloat16 passes; the SYRK / dense-cholesky /
     # triangular-solve chain needs true fp32 accumulation or equilibrated
     # fp32 factorizations lose ~3 decimal digits and ill-conditioned
     # matrices go non-PD.
     with jax.default_matmul_precision("highest"):
         return _factorize_impl(
-            arrays, Ax, N_L=N_L, dtype=dtype, backend=backend, scale=scale
+            arrays, Ax, R_L=R_L, dtype=dtype, backend=backend, scale=scale
         )
 
 
@@ -429,8 +474,8 @@ def factorize(
     """Numeric factorization of the matrix whose values are Ax (on the
     pattern/permutation the plan was compiled for).
 
-    Returns (Lx, d): the block-store factor (N_L + 1 slots) of
-    D A D and the equilibration vector d (ones when scale is off).
+    Returns (Lx, d): the [R_L, 128] block-store factor of D A D and the
+    equilibration vector d (ones when scale is off).
     Raises NotPositiveDefiniteError (with supernode id / column range /
     pivot) if ``check`` and a non-positive pivot occurred.
     """
@@ -438,7 +483,7 @@ def factorize(
         arrays = device_arrays(plan)
     dtype = jnp.dtype(plan.dtype)
     Lx, minpiv, d = _factorize_jit(
-        arrays, jnp.asarray(Ax), plan.N_L, dtype, backend, scale
+        arrays, jnp.asarray(Ax), plan.R_L, dtype, backend, scale
     )
     if check:
         mp = np.asarray(minpiv)
@@ -470,11 +515,10 @@ def refactorize(plan: FactorizePlan, Ax, arrays, **kw):
 # pure MXU matmuls (no loop-lowered triangular solves on the hot path).
 
 
-def _diag_inverses_impl(arrays, Lx, *, N_L: int, dtype):
+def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
     def one(b):
         w_pad = b.w_pad
-        gidx, _ = panel_indices(b, N_L, w_pad=w_pad, mb_pad=0)
-        P11 = jnp.take(Lx, gidx, mode="fill", fill_value=0)
+        P11 = gather_panels(Lx, b, R_L, mb_pad=0)
         L11 = jnp.tril(P11)
         eye = jnp.broadcast_to(jnp.eye(w_pad, dtype=dtype), P11.shape)
         return jax.lax.linalg.triangular_solve(
@@ -482,15 +526,15 @@ def _diag_inverses_impl(arrays, Lx, *, N_L: int, dtype):
         )
 
     out = []
-    for r in arrays["runs"]:
-        if r.kind == "single":
-            out.append(one(r.b))
+    for kind, rb in iter_runs(arrays):
+        if kind == "single":
+            out.append(one(rb))
         else:
-            out.append(jax.lax.scan(lambda c, b: (c, one(b)), 0, r.b)[1])
+            out.append(jax.lax.scan(lambda c, b: (c, one(b)), 0, rb)[1])
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("N_L", "dtype"))
-def diag_inverses(arrays, Lx, N_L, dtype):
+@functools.partial(jax.jit, static_argnames=("R_L", "dtype"))
+def diag_inverses(arrays, Lx, R_L, dtype):
     with jax.default_matmul_precision("highest"):
-        return _diag_inverses_impl(arrays, Lx, N_L=N_L, dtype=dtype)
+        return _diag_inverses_impl(arrays, Lx, R_L=R_L, dtype=dtype)

@@ -7,7 +7,7 @@ distributed backend.  This module is the TPU-native scaling story
 chips* via shard_map over a 1D mesh.
 
 Design (round 1 — replicated factor, sharded work):
-  * the block-store factor Lx is replicated on every chip;
+  * the [R_L, 128] block-store factor is replicated on every chip;
   * each wavefront level's supernodes are partitioned across chips
     (host-side, one batch shape per chip);
   * each chip gathers/factors only its own panels and accumulates its
@@ -15,14 +15,14 @@ Design (round 1 — replicated factor, sharded work):
     store; a single psum over the mesh merges the level — the "halo
     exchange" of update panels rides the ICI as one fused collective;
   * set-as-add trick: a chip that factors a supernode contributes
-    (L_new - current) at the column slots, so the psum result is exactly
+    (L_new - current) at the panel rows, so the psum result is exactly
     the new factor state — deterministic, race-free by construction
     (contrast with the reference's racy apply_update, SURVEY.md §2c).
 
 Dead-lane padding: per level each chip gets the same batch shape; chips
-with fewer supernodes get "dead" panels with w = mb = 0, whose affine
-gather assembles the identity (factorizes to itself, contributes zero
-delta, pivot 1).
+with fewer supernodes get "dead" panels with w = mb = 0, whose gather
+assembles the identity (factorizes to itself, contributes zero delta,
+pivot 1).
 """
 
 from __future__ import annotations
@@ -39,10 +39,14 @@ from ..plan import FactorizePlan
 from ..errors import NotPositiveDefiniteError
 from ..numeric import (
     _BucketArrays,
+    _FIELDS,
+    _Static,
     _initial_values,
+    _np_fields,
     _panel_factor,
     apply_schur_update,
-    panel_indices,
+    gather_panels,
+    scatter_panels,
 )
 
 
@@ -53,46 +57,80 @@ from ..numeric import (
 def shard_plan(plan: FactorizePlan, ndev: int):
     """Partition every level's buckets across ndev devices.
 
-    Returns the same nested levels/buckets structure with a leading device
-    axis on every per-supernode array: off [ndev, Bd], col_idx
-    [ndev, Bd, w_pad], ...  Assignment: supernodes of a bucket are dealt
-    round-robin — within a bucket all panels cost the same (same padded
-    shape), so round-robin is flop-balanced.
+    Per-supernode arrays gain a leading device axis (row0 [ndev, Bd], ...),
+    are flattened per field into ONE [ndev, total] buffer (jit arity stays
+    O(1); see numeric.build_runs), and ship with a static per-level meta.
+    Assignment: supernodes of a bucket are dealt round-robin — within a
+    bucket all panels cost the same (same padded shape), so round-robin is
+    flop-balanced.  Chips with fewer supernodes get "dead" panels with
+    w = mb = 0, whose gather assembles the identity.
     """
-
-    levels = []
+    chunks = {f: [] for f in _FIELDS}
+    offs = {f: 0 for f in _FIELDS}
+    meta = []
+    xchunks = []          # per-level touched-row sets (the psum halo)
+    xoff = 0
+    xmeta = []
     for lev in plan.levels:
-        bl = []
+        lmeta = []
+        touched = []
+        for b in lev:
+            for k in range(b.batch):
+                r0 = int(b.row0[k]); wk = int(b.w[k]); mbk = int(b.mb[k])
+                touched.append(np.arange(r0, r0 + wk + mbk))
+                if b.ug is not None and mbk:
+                    G = int(b.uG[k])
+                    for g in range(G):
+                        j0 = int(b.uj0[k, g])
+                        touched.append(
+                            b.urow0[k, g] + b.up[k, j0:mbk, g]
+                        )
+        xrows = (
+            np.unique(np.concatenate(touched)).astype(np.int64)
+            if touched else np.zeros(0, dtype=np.int64)
+        )
+        xchunks.append(xrows.astype(np.int32))
+        xmeta.append((xoff, len(xrows)))
+        xoff += len(xrows)
         for b in lev:
             B = b.batch
             Bd = -(-B // ndev)
             pad = Bd * ndev - B
-
-            def _expand(arr, fill):
+            fills = dict(row0=0, w=0, mb=0, col_idx=-1, below_idx=-1,
+                         ug=0, ujloc=0, up=0, urow0=0,
+                         uj0=b.mb_pad, uG=0)
+            spec = {}
+            fv = _np_fields(b)
+            for f in _FIELDS:
+                arr = fv[f]
                 if arr is None:
-                    return None
+                    spec[f] = None
+                    continue
                 if pad:
-                    dead = np.full((pad,) + arr.shape[1:], fill, arr.dtype)
+                    dead = np.full((pad,) + arr.shape[1:], fills[f], arr.dtype)
                     arr = np.concatenate([arr, dead], axis=0)
-                return jnp.asarray(arr.reshape(ndev, Bd, *arr.shape[1:]))
-
-            bl.append(
-                _BucketArrays(
-                    off=_expand(b.off, 0),
-                    w=_expand(b.w, 0),       # dead panel: w = mb = 0
-                    mb=_expand(b.mb, 0),
-                    col_idx=_expand(b.col_idx, -1),
-                    below_idx=_expand(b.below_idx, -1),
-                    ucolbase=_expand(b.ucolbase, 0),
-                    utw=_expand(b.utw, 1),
-                    ug=_expand(b.ug, 0),
-                    up=_expand(b.up, 0),
-                )
-            )
-        levels.append(bl)
+                arr = arr.reshape(ndev, Bd, *arr.shape[1:])
+                flat2 = np.ascontiguousarray(arr, dtype=np.int32).reshape(ndev, -1)
+                chunks[f].append(flat2)
+                spec[f] = (offs[f], arr.shape[1:])
+                offs[f] += flat2.shape[1]
+            lmeta.append(tuple(sorted(spec.items())))
+        meta.append(tuple(lmeta))
+    flat = {
+        f: jnp.asarray(
+            np.concatenate(chunks[f], axis=1)
+            if chunks[f] else np.zeros((ndev, 0), np.int32)
+        )
+        for f in _FIELDS
+    }
     return {
-        "levels": levels,
-        "entry_slot": jnp.asarray(plan.entry_slot.astype(np.int32)),
+        "flat": flat,
+        "xrows": jnp.asarray(
+            np.concatenate(xchunks) if xchunks else np.zeros(0, np.int32)
+        ),
+        "meta": _Static((tuple(meta), tuple(xmeta))),
+        "entry_row": jnp.asarray(plan.entry_row.astype(np.int32)),
+        "entry_lane": jnp.asarray(plan.entry_lane.astype(np.int32)),
         "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
         "entry_phi": jnp.asarray(plan.entry_phi.astype(np.int32)),
         "diag_map": jnp.asarray(plan.diag_map.astype(np.int32)),
@@ -101,37 +139,52 @@ def shard_plan(plan: FactorizePlan, ndev: int):
     }
 
 
+def _unpack_local(flat, spec) -> _BucketArrays:
+    """Device-local bucket arrays from the [1, total] sharded buffers."""
+    fields = {}
+    for f, fs in spec:
+        if fs is None:
+            fields[f] = None
+        else:
+            off, shape = fs
+            size = int(np.prod(shape))
+            fields[f] = jax.lax.slice(
+                flat[f], (0, off), (1, off + size)
+            ).reshape(shape)
+    return _BucketArrays(**fields)
+
+
 # ---------------------------------------------------------------------------
 # Device-side sharded factorize
 
 
-def _sharded_factorize_body(arrays, Ax, *, N_L, dtype, axis: str, scale: bool):
+def _sharded_factorize_body(arrays, Ax, *, R_L, dtype, axis: str, scale: bool):
     """Runs per device inside shard_map; bucket arrays arrive device-local
     (leading device axis of size 1 under the sharding)."""
-    Lx, d = _initial_values(arrays, Ax, N_L=N_L, dtype=dtype, scale=scale)
+    Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
 
     minpivs = []
-    for buckets in arrays["levels"]:
+    levels_meta, xmeta = arrays["meta"].value
+    for lmeta, (xoff, xlen) in zip(levels_meta, xmeta):
         delta = jnp.zeros_like(Lx)
-        for b in buckets:
-            bl = b.index_leading(0)
-            gidx, sidx = panel_indices(
-                bl, N_L, w_pad=bl.w_pad, mb_pad=bl.mb_pad
-            )
-            Pn = jnp.take(Lx, gidx, mode="fill", fill_value=0)
+        for spec in lmeta:
+            bl = _unpack_local(arrays["flat"], spec)
+            Pn = gather_panels(Lx, bl, R_L)
             L, piv = _panel_factor(Pn, bl.w_pad, "xla")
             minpivs.append(piv)
-            # set-as-add: scatter slots currently hold Pn's values
-            delta = delta.at[sidx].add(L - Pn, mode="drop")
+            # set-as-add: the panel rows currently hold Pn minus the
+            # arithmetic identity padding, which lives at dropped rows
+            delta = scatter_panels(delta, bl, L - Pn, R_L)
             if bl.mb_pad:
                 delta = apply_schur_update(
-                    delta, bl, L[:, bl.w_pad:, :], N_L, dtype
+                    delta, bl, L[:, bl.w_pad:, :], R_L, dtype
                 )
-        delta = jax.lax.psum(delta, axis)
-        # the ones slot must stay exactly 1.0 (dead panels scatter nothing,
-        # but numerical noise must not accumulate there)
-        delta = delta.at[N_L].set(0.0)
-        Lx = Lx + delta
+        # halo exchange: only the rows this level writes (panel rows +
+        # update targets, a static host-computed union) ride the psum.
+        xrows = jax.lax.slice(arrays["xrows"], (xoff,), (xoff + xlen,))
+        h = jnp.take(delta, xrows, axis=0, mode="fill", fill_value=0)
+        h = jax.lax.psum(h, axis)
+        Lx = Lx.at[xrows].add(h, mode="drop")
     minpiv_flat = (
         jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
     )
@@ -156,8 +209,12 @@ def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
     # everything else (entry/diag maps, Ax, Lx) is replicated
     in_specs = (
         {
-            "levels": jax.tree.map(lambda _: P(axis), arrays["levels"]),
-            "entry_slot": P(),
+            "flat": {f: P(axis) for f in _FIELDS},
+            "xrows": P(),
+            # _Static carries no array leaves; a vacuous leaf spec suffices
+            "meta": P(),
+            "entry_row": P(),
+            "entry_lane": P(),
             "entry_plo": P(),
             "entry_phi": P(),
             "diag_map": P(),
@@ -168,7 +225,7 @@ def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
     )
 
     body = functools.partial(
-        _sharded_factorize_body, N_L=plan.N_L, dtype=dtype, axis=axis,
+        _sharded_factorize_body, R_L=plan.R_L, dtype=dtype, axis=axis,
         scale=scale,
     )
     fn = jax.jit(

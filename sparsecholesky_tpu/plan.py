@@ -6,52 +6,50 @@ data-dependent decision — supernode shapes, panel row structures, where A's
 values land, where each Schur-complement entry must be added — is resolved
 *once* on the host into compact int32 arrays of static shape.  The numeric
 phase (numeric.py) is then a pure jittable function of (plan arrays, Ax)
-whose only device ops are gathers, batched dense panel factorizations on
-the MXU, batched SYRKs, and scatter-adds.
+whose only device ops are row gathers, batched dense panel factorizations
+on the MXU, batched SYRK-style matmuls, and row scatter-adds.
 
-Storage layout of the factor ("block store"):
-  L is stored per supernode as a dense (m_s x w_s) row-major block whose
-  rows are sn_rows[s] and whose columns are the supernode's columns —
-  the supernodal layout CHOLMOD uses, replacing the reference's global CSC
-  + per-panel memoized scatter indices (panel::indices_,
-  /root/reference/include/chol.hpp:1093).  Blocks are concatenated into one
-  flat value buffer Lx of size N_L; slot N_L (one extra) permanently holds
-  1.0 and is the gather target for padded diagonal positions.  Slots above
-  the diagonal of a diagonal block exist but carry no meaning: every
-  consumer masks them with tril, so kernels may freely write scratch there.
+Storage layout of the factor ("lane-aligned block store"):
+  L is stored per supernode as a dense block whose rows are sn_rows[s] and
+  whose columns are the supernode's columns — the supernodal layout CHOLMOD
+  uses.  Every block row occupies one full 128-lane row of a global
+  [R_L, 128] fp array: row (s, i) lives at Lx[row_off[s] + i, 0:w_s]; lanes
+  >= w_s are dead (always zero).  Rationale: on TPU, element-granular
+  gather/scatter runs ~3 orders of magnitude below HBM bandwidth, while
+  whole-row (128-lane) gathers/scatters run near it — every indexed access
+  in the numeric phase is therefore row-granular.  Strict-upper positions
+  of the diagonal block exist but carry no meaning: every consumer masks
+  them with tril, so kernels may freely write scratch there.
 
-Affine panel addressing (v2, the scalability redesign):
-  Within a block, slot(i, j) = off_s + i*w_s + j is affine in (i, j), so the
-  per-panel gather/scatter index grids are *computed on device* from three
-  scalars per supernode (off, w, mb) with broadcasted iota — nothing of
-  O(nnz(L)) size is ever materialized on the host or stored in HBM.  The
-  assembled panel layout handed to the kernels (identity padding, maskless):
-    rows [0, w)            : the supernode's own columns (diagonal block)
-    rows [w, w_pad)        : identity padding (1 on the diagonal)
-    rows [w_pad, w_pad+mb) : the below-diagonal rows
-    rows [w_pad+mb, ...)   : zero padding
-  The padded panel is exactly blockdiag(real panel, I) plus zero rows, so
-  the factorization of the padded panel *is* the factorization of the real
-  panel — no masks anywhere on the device.
+Affine panel addressing:
+  The row index of panel row i of supernode s is row_off[s] + i — affine in
+  one scalar per supernode, so gather/scatter row-index grids are computed
+  on device with broadcasted iota; nothing of O(nnz(L)) size is ever
+  materialized on the host.  Identity padding (rows [w, w_pad) of the
+  assembled panel) is added arithmetically at gather time.
 
 Initial values:
-  One scatter of A's nnz entries into the zero-initialised block store
-  (entry_slot below), replacing a dense slot->entry gather map.
+  One scatter of A's nnz entries at (entry_row, entry_lane) into the zeroed
+  block store.
 
 Schur updates ("extend-add"):
   After factoring supernode s, C = L21 @ L21^T must be subtracted from the
   ancestor entries (r_i, r_j) for below-rows r_i >= r_j.  The reference
   does this with a racy sparse scatter (apply_update,
-  /root/reference/include/chol.hpp:1196-1216, race noted in SURVEY.md §2c);
-  here the target slot factorizes as
-      idx[i, j] = ucolbase[j] + up[i, g(j)] * utw[j]
-  where g(j) ranks column j's owner supernode among the O(few) distinct
-  ancestor supernodes the below rows touch, so the stored maps are
-  O(mb * G) instead of O(mb^2), and the device op is a single deterministic
-  scatter-add.  Every (r_i, r_j) target provably exists in the supernodal
-  pattern: r_i, r_j both lie in s's row set, hence r_i is in the strict
+  /root/reference/include/chol.hpp:1196-1216, race noted in SURVEY.md §2c).
+  Here the update is decomposed per distinct ancestor supernode g (of which
+  the below rows touch only a few):
+    1. place L21's rows into a per-target workspace V[g, lane, :] at each
+       column's lane ujloc(j) (one row-granular scatter),
+    2. C_g = L21 @ V_g^T on the MXU — C_g[i, lane] is exactly the update for
+       target row position up[i, g], already lane-aligned,
+    3. one row-granular scatter-add into the target blocks.
+  Pair terms with r_i < r_j land on strict-upper scratch positions and are
+  harmless; rows i with no valid pair in g (i < uj0[g]) are masked to the
+  out-of-bounds row.  Every (r_i >= r_j) target provably exists in the
+  supernodal pattern: both lie in s's row set, so r_i is in the strict
   pattern of column r_j (fill path through s), which is contained in the
-  (amalgamation-expanded) row union of r_j's supernode.
+  row union of r_j's supernode.
 """
 
 from __future__ import annotations
@@ -64,15 +62,19 @@ from .csc import CSCMatrix, INDEX_DTYPE
 from .errors import SymbolicError
 from .symbolic import SymbolicFactor, analyze
 
+# Lane width of the block store (f32 vector lane count; also the supernode
+# max width — plan compilation enforces max_width <= LANE).
+LANE = 128
+
 # Padding tiers. Second-to-last dim of a f32 tile is 8; lane dim 128.
-_W_TIERS = (8, 16, 32, 64, 128, 256)
+_W_TIERS = (8, 16, 32, 64, 128)
 
 
 def _pad_w(w: int) -> int:
     for t in _W_TIERS:
         if w <= t:
             return t
-    return -(-w // 128) * 128
+    raise SymbolicError(f"supernode width {w} exceeds the {LANE}-lane store")
 
 
 def _pad_mb(mb: int) -> int:
@@ -85,28 +87,35 @@ def _pad_mb(mb: int) -> int:
     return -(-mb // 512) * 512
 
 
+def _pad_g(g: int) -> int:
+    for t in (1, 2, 4, 8, 16, 32, 64, 128):
+        if g <= t:
+            return t
+    return -(-g // 64) * 64
+
+
 @dataclasses.dataclass
 class Bucket:
     """One batch of same-padded-shape supernodes within a level.
 
-    All index arrays are compact: O(B * (w_pad + mb_pad * G)) total, never
-    O(panel area).  Panel gather/scatter grids are derived on device from
-    (off, w, mb); see numeric._panel_indices.
-    """
+    All index arrays are compact: O(B * (w_pad + mb_pad * G)) total.  Panel
+    row grids derive on device from row0/w/mb (numeric.panel_rows)."""
 
     w_pad: int
     mb_pad: int
     sn_ids: np.ndarray        # int32[B] supernode ids (for error reporting)
-    off: np.ndarray           # int32[B] block-store offset of each supernode
+    row0: np.ndarray          # int32[B] first store row of each supernode
     w: np.ndarray             # int32[B] true width
     mb: np.ndarray            # int32[B] true below-row count
     col_idx: np.ndarray       # int32[B, w_pad] global (permuted) column ids / -1
     below_idx: np.ndarray     # int32[B, mb_pad] global (permuted) row ids / -1
     # factored Schur-update map (all None when mb_pad == 0):
-    ucolbase: np.ndarray | None  # int32[B, mb_pad] t_off + (r_j - t_c0)
-    utw: np.ndarray | None       # int32[B, mb_pad] width of column j's owner
-    ug: np.ndarray | None        # int32[B, mb_pad] rank of owner in distinct list
-    up: np.ndarray | None        # int32[B, mb_pad, G_pad] row position in owner
+    ug: np.ndarray | None     # int32[B, mb_pad] rank of column j's owner
+    ujloc: np.ndarray | None  # int32[B, mb_pad] lane of column j in its owner
+    up: np.ndarray | None     # int32[B, mb_pad, G_pad] row position in owner
+    urow0: np.ndarray | None  # int32[B, G_pad] first store row of owner
+    uj0: np.ndarray | None    # int32[B, G_pad] first below index owned
+    uG: np.ndarray | None     # int32[B] number of real owners
 
     @property
     def batch(self) -> int:
@@ -116,10 +125,18 @@ class Bucket:
     def m_pad(self) -> int:
         return self.w_pad + self.mb_pad
 
+    @property
+    def g_pad(self) -> int:
+        return 0 if self.up is None else self.up.shape[2]
+
     def flops(self) -> int:
-        """MXU flops actually issued for this bucket (padded shapes)."""
+        """MXU flops actually issued for this bucket (padded shapes):
+        panel LLT + TRSM + the lane-aligned extend-add matmuls."""
         B, w, mb = self.batch, self.w_pad, self.mb_pad
-        return B * (w**3 // 3 + w * w * mb + w * mb * mb)
+        f = B * (w**3 // 3 + w * w * mb)
+        if mb:
+            f += B * self.g_pad * 2 * mb * w * LANE
+        return f
 
 
 @dataclasses.dataclass
@@ -128,13 +145,14 @@ class FactorizePlan:
 
     S: SymbolicFactor
     n: int
-    N_L: int                  # total block-store slots (excl. the ones slot)
+    R_L: int                  # total block-store rows (the store is [R_L, 128])
     perm: np.ndarray          # permuted index -> original index
     iperm: np.ndarray         # original index -> permuted index
-    block_off: np.ndarray     # int64[ns] offset of each supernode block
+    row_off: np.ndarray       # int64[ns] first store row of each supernode
     block_w: np.ndarray       # int64[ns]
     block_m: np.ndarray       # int64[ns]
-    entry_slot: np.ndarray    # int64[nnz(A)] block-store slot of each A entry
+    entry_row: np.ndarray     # int64[nnz(A)] store row of each A entry
+    entry_lane: np.ndarray    # int64[nnz(A)] store lane of each A entry
     entry_plo: np.ndarray     # int32[nnz(A)] permuted min coordinate (L column)
     entry_phi: np.ndarray     # int32[nnz(A)] permuted max coordinate (L row)
     diag_map: np.ndarray      # int32[n] -> index of A(i,i) in original Ax
@@ -154,7 +172,17 @@ class FactorizePlan:
     def nnz_L(self) -> int:
         return self.S.supernodal_nnz()
 
-    def extract_csc(self, Lx: np.ndarray, row_scale: np.ndarray | None = None
+    def store_bytes(self) -> int:
+        return self.R_L * LANE * self.dtype.itemsize
+
+    def block(self, Lx2d: np.ndarray, s: int) -> np.ndarray:
+        """Host view of supernode s's (m x w) block from the 2D store."""
+        r0 = int(self.row_off[s])
+        m = int(self.block_m[s])
+        w = int(self.block_w[s])
+        return np.asarray(Lx2d[r0 : r0 + m, :w])
+
+    def extract_csc(self, Lx2d: np.ndarray, row_scale: np.ndarray | None = None
                     ) -> CSCMatrix:
         """Block store -> lower-triangular CSC (sorted), for inspection and
         oracle comparison — the export role of the reference's final L
@@ -170,8 +198,7 @@ class FactorizePlan:
             w = c1 - c0
             r = S.sn_rows[s]
             m = len(r)
-            block = np.asarray(Lx[self.block_off[s] : self.block_off[s] + m * w])
-            block = block.reshape(m, w)
+            block = self.block(Lx2d, s)
             for j in range(w):
                 keep = np.arange(j, m)
                 rows.append(r[keep])
@@ -243,18 +270,24 @@ def compile_plan(
             np.zeros(len(pAi)),
             sym="upper",
         )
-        S = analyze(pA, **(analyze_kwargs or {}))
+        kw = dict(analyze_kwargs or {})
+        kw.setdefault("max_width", LANE)
+        S = analyze(pA, **kw)
 
     ns = S.ns
     block_w = (S.sn_ptr[1:] - S.sn_ptr[:-1]).astype(np.int64)
-    block_m = np.array([len(r) for r in S.sn_rows], dtype=np.int64)
-    block_sz = block_m * block_w
-    block_off = np.zeros(ns, dtype=np.int64)
-    np.cumsum(block_sz[:-1], out=block_off[1:])
-    N_L = int(block_sz.sum())
-    if N_L + 2 >= np.iinfo(np.int32).max:
+    if ns and int(block_w.max()) > LANE:
         raise SymbolicError(
-            f"block store of {N_L} slots exceeds int32 addressing; "
+            f"supernode width {int(block_w.max())} exceeds the {LANE}-lane "
+            "store; re-run analyze with max_width <= 128"
+        )
+    block_m = np.array([len(r) for r in S.sn_rows], dtype=np.int64)
+    row_off = np.zeros(ns, dtype=np.int64)
+    np.cumsum(block_m[:-1], out=row_off[1:])
+    R_L = int(block_m.sum())
+    if R_L + 2 >= np.iinfo(np.int32).max:
+        raise SymbolicError(
+            f"block store of {R_L} rows exceeds int32 addressing; "
             "partition the matrix (multi-chip block store) instead"
         )
 
@@ -262,11 +295,10 @@ def compile_plan(
     # Segment s of R holds sn_rows[s] (sorted); key = s*n + row is globally
     # strictly increasing, so one searchsorted resolves (supernode, row) ->
     # position-within-supernode for any batch of queries.
-    row_lens = block_m
     sn_row_off = np.zeros(ns + 1, dtype=np.int64)
-    np.cumsum(row_lens, out=sn_row_off[1:])
+    np.cumsum(block_m, out=sn_row_off[1:])
     R = np.concatenate(S.sn_rows) if ns else np.zeros(0, dtype=np.int64)
-    seg_of = np.repeat(np.arange(ns, dtype=np.int64), row_lens)
+    seg_of = np.repeat(np.arange(ns, dtype=np.int64), block_m)
     K = seg_of * n + R
 
     sn_ptr = S.sn_ptr.astype(np.int64)
@@ -276,18 +308,19 @@ def compile_plan(
         g = np.searchsorted(K, t * n + r)
         return g - sn_row_off[t]
 
-    # ---- entry scatter map: original A entry -> block-store slot --------
+    # ---- entry scatter map: original A entry -> store (row, lane) -------
     # Entry (lo, hi) of the permuted upper pattern is L(hi, lo): owner
-    # supernode t = sn_id[lo], slot = off_t + pos(hi)*w_t + (lo - c0_t).
-    entry_slot = np.empty(A.nnz, dtype=np.int64)
-    entry_plo = np.empty(A.nnz, dtype=np.int64)
-    entry_phi = np.empty(A.nnz, dtype=np.int64)
+    # supernode t = sn_id[lo], row = row_off[t] + pos(hi), lane = lo - c0_t.
     lo = pAi.astype(np.int64)
     hi = np.repeat(np.arange(n, dtype=np.int64), np.diff(pAp))
     t = S.sn_id[lo].astype(np.int64)
     pos = _positions(t, hi)
-    slots = block_off[t] + pos * block_w[t] + (lo - sn_ptr[t])
-    entry_slot[pAe] = slots
+    entry_row = np.empty(A.nnz, dtype=np.int64)
+    entry_lane = np.empty(A.nnz, dtype=np.int64)
+    entry_plo = np.empty(A.nnz, dtype=np.int64)
+    entry_phi = np.empty(A.nnz, dtype=np.int64)
+    entry_row[pAe] = row_off[t] + pos
+    entry_lane[pAe] = lo - sn_ptr[t]
     entry_plo[pAe] = lo
     entry_phi[pAe] = hi
 
@@ -312,7 +345,7 @@ def compile_plan(
         for (w_pad, mb_pad), sns in sorted(groups.items()):
             buckets.append(
                 _build_bucket(
-                    S, sns, w_pad, mb_pad, block_off, block_w, block_m,
+                    S, sns, w_pad, mb_pad, row_off, block_w, block_m,
                     sn_row_off, K, n,
                 )
             )
@@ -321,13 +354,14 @@ def compile_plan(
     return FactorizePlan(
         S=S,
         n=n,
-        N_L=N_L,
+        R_L=R_L,
         perm=perm,
         iperm=iperm,
-        block_off=block_off,
+        row_off=row_off,
         block_w=block_w,
         block_m=block_m,
-        entry_slot=entry_slot,
+        entry_row=entry_row,
+        entry_lane=entry_lane,
         entry_plo=entry_plo,
         entry_phi=entry_phi,
         diag_map=diag_map,
@@ -337,11 +371,11 @@ def compile_plan(
 
 
 def _build_bucket(
-    S, sns, w_pad, mb_pad, block_off, block_w, block_m, sn_row_off, K, n
+    S, sns, w_pad, mb_pad, row_off, block_w, block_m, sn_row_off, K, n
 ) -> Bucket:
     B = len(sns)
     sns_a = np.asarray(sns, dtype=np.int64)
-    off = block_off[sns_a]
+    row0 = row_off[sns_a]
     w = block_w[sns_a]
     mb = block_m[sns_a] - w
 
@@ -369,24 +403,29 @@ def _build_bucket(
         return Bucket(
             w_pad=w_pad, mb_pad=0,
             sn_ids=sns_a.astype(INDEX_DTYPE),
-            off=off.astype(INDEX_DTYPE),
+            row0=row0.astype(INDEX_DTYPE),
             w=w.astype(INDEX_DTYPE),
             mb=mb.astype(INDEX_DTYPE),
             col_idx=col_idx.astype(INDEX_DTYPE),
             below_idx=below_idx.astype(INDEX_DTYPE),
-            ucolbase=None, utw=None, ug=None, up=None,
+            ug=None, ujloc=None, up=None, urow0=None, uj0=None, uG=None,
         )
 
-    ucolbase = np.zeros((B, mb_pad), dtype=np.int64)
-    utw = np.ones((B, mb_pad), dtype=np.int64)
+    G_pad = _pad_g(G_max)
     ug = np.zeros((B, mb_pad), dtype=np.int64)
-    up = np.zeros((B, mb_pad, G_max), dtype=np.int64)
+    ujloc = np.zeros((B, mb_pad), dtype=np.int64)
+    up = np.zeros((B, mb_pad, G_pad), dtype=np.int64)
+    urow0 = np.zeros((B, G_pad), dtype=np.int64)
+    uj0 = np.full((B, G_pad), mb_pad, dtype=np.int64)  # pad: mask everything
+    uG = np.zeros(B, dtype=np.int64)
     for b, br, tgt, distinct in per_sn:
         mbb = len(br)
         G = len(distinct)
-        ucolbase[b, :mbb] = block_off[tgt] + (br - sn_ptr[tgt])
-        utw[b, :mbb] = block_w[tgt]
+        uG[b] = G
         ug[b, :mbb] = np.searchsorted(distinct, tgt)
+        ujloc[b, :mbb] = br - sn_ptr[tgt]
+        urow0[b, :G] = row_off[distinct]
+        uj0[b, :G] = np.searchsorted(tgt, distinct)
         # position of every below row within every distinct target's rows
         q = (distinct[None, :] * n + br[:, None]).ravel()
         g = np.searchsorted(K, q).reshape(mbb, G)
@@ -395,13 +434,15 @@ def _build_bucket(
     return Bucket(
         w_pad=w_pad, mb_pad=mb_pad,
         sn_ids=sns_a.astype(INDEX_DTYPE),
-        off=off.astype(INDEX_DTYPE),
+        row0=row0.astype(INDEX_DTYPE),
         w=w.astype(INDEX_DTYPE),
         mb=mb.astype(INDEX_DTYPE),
         col_idx=col_idx.astype(INDEX_DTYPE),
         below_idx=below_idx.astype(INDEX_DTYPE),
-        ucolbase=ucolbase.astype(INDEX_DTYPE),
-        utw=utw.astype(INDEX_DTYPE),
         ug=ug.astype(INDEX_DTYPE),
+        ujloc=ujloc.astype(INDEX_DTYPE),
         up=up.astype(INDEX_DTYPE),
+        urow0=urow0.astype(INDEX_DTYPE),
+        uj0=uj0.astype(INDEX_DTYPE),
+        uG=uG.astype(INDEX_DTYPE),
     )

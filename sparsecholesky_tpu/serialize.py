@@ -22,7 +22,7 @@ from .csc import INDEX_DTYPE
 from .plan import Bucket, FactorizePlan
 from .symbolic import SymbolicFactor
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def _bucket_fields(b: Bucket) -> dict:
@@ -30,14 +30,15 @@ def _bucket_fields(b: Bucket) -> dict:
         "w_pad": np.int64(b.w_pad),
         "mb_pad": np.int64(b.mb_pad),
         "sn_ids": b.sn_ids,
-        "off": b.off,
+        "row0": b.row0,
         "w": b.w,
         "mb": b.mb,
         "col_idx": b.col_idx,
         "below_idx": b.below_idx,
     }
-    if b.ucolbase is not None:
-        out.update(ucolbase=b.ucolbase, utw=b.utw, ug=b.ug, up=b.up)
+    if b.ug is not None:
+        out.update(ug=b.ug, ujloc=b.ujloc, up=b.up, urow0=b.urow0,
+                   uj0=b.uj0, uG=b.uG)
     return out
 
 
@@ -58,14 +59,15 @@ def save_plan(path: str, plan: FactorizePlan) -> None:
     data = {
         "format_version": np.int64(_FORMAT_VERSION),
         "n": np.int64(plan.n),
-        "N_L": np.int64(plan.N_L),
+        "R_L": np.int64(plan.R_L),
         "dtype": np.frombuffer(str(plan.dtype).encode(), dtype=np.uint8),
         "perm": plan.perm,
         "iperm": plan.iperm,
-        "block_off": plan.block_off,
+        "row_off": plan.row_off,
         "block_w": plan.block_w,
         "block_m": plan.block_m,
-        "entry_slot": plan.entry_slot,
+        "entry_row": plan.entry_row,
+        "entry_lane": plan.entry_lane,
         "entry_plo": plan.entry_plo,
         "entry_phi": plan.entry_phi,
         "diag_map": plan.diag_map,
@@ -143,34 +145,37 @@ def load_plan(path: str) -> FactorizePlan:
         bl = []
         for k in range(int(bpl[i])):
             pre = f"lev{i}/b{k}/"
-            has_upd = pre + "ucolbase" in z
+            has_upd = pre + "ug" in z
             bl.append(
                 Bucket(
                     w_pad=int(z[pre + "w_pad"]),
                     mb_pad=int(z[pre + "mb_pad"]),
                     sn_ids=z[pre + "sn_ids"],
-                    off=z[pre + "off"],
+                    row0=z[pre + "row0"],
                     w=z[pre + "w"],
                     mb=z[pre + "mb"],
                     col_idx=z[pre + "col_idx"],
                     below_idx=z[pre + "below_idx"],
-                    ucolbase=z[pre + "ucolbase"] if has_upd else None,
-                    utw=z[pre + "utw"] if has_upd else None,
                     ug=z[pre + "ug"] if has_upd else None,
+                    ujloc=z[pre + "ujloc"] if has_upd else None,
                     up=z[pre + "up"] if has_upd else None,
+                    urow0=z[pre + "urow0"] if has_upd else None,
+                    uj0=z[pre + "uj0"] if has_upd else None,
+                    uG=z[pre + "uG"] if has_upd else None,
                 )
             )
         levels.append(bl)
     return FactorizePlan(
         S=S,
         n=int(z["n"]),
-        N_L=int(z["N_L"]),
+        R_L=int(z["R_L"]),
         perm=z["perm"],
         iperm=z["iperm"],
-        block_off=z["block_off"],
+        row_off=z["row_off"],
         block_w=z["block_w"],
         block_m=z["block_m"],
-        entry_slot=z["entry_slot"],
+        entry_row=z["entry_row"],
+        entry_lane=z["entry_lane"],
         entry_plo=z["entry_plo"],
         entry_phi=z["entry_phi"],
         diag_map=z["diag_map"],

@@ -32,10 +32,10 @@ import jax
 import jax.numpy as jnp
 
 from .plan import FactorizePlan
-from .numeric import gather_panels
+from .numeric import gather_panels, iter_runs
 
 
-def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
+def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
     """Pure jittable solve of A x = rhs for one right-hand side in ORIGINAL
     index order: applies perm and the equilibration d (the stored factor is
     of D (P A P^T) D, so x = P^T D L^-T L^-1 D P rhs), then iperm.
@@ -57,7 +57,7 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
 
     def fstep(y, b, Dinv):
         w_pad = b.w_pad
-        P = gather_panels(Lx, b, N_L)
+        P = gather_panels(Lx, b, R_L)
         D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
         cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
         ycols = jnp.take(y, cidx, mode="fill", fill_value=0)
@@ -72,7 +72,7 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
 
     def bstep(x, b, Dinv):
         w_pad = b.w_pad
-        P = gather_panels(Lx, b, N_L)
+        P = gather_panels(Lx, b, R_L)
         D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
         cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
         t = jnp.take(x, cidx, mode="fill", fill_value=0)
@@ -85,15 +85,15 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
         z = _lsolve(D, t, transpose=True)
         return x.at[cidx].set(z, mode="drop")
 
-    runs = arrays["runs"]
+    runs = list(iter_runs(arrays))
     lv = linv if linv is not None else [None] * len(runs)
 
     # ---- forward: L y = b ----
-    for r, Dinv in zip(runs, lv):
-        if r.kind == "single":
-            y = fstep(y, r.b, Dinv)
+    for (kind, rb), Dinv in zip(runs, lv):
+        if kind == "single":
+            y = fstep(y, rb, Dinv)
         else:
-            xs = (r.b, Dinv) if Dinv is not None else (r.b,)
+            xs = (rb, Dinv) if Dinv is not None else (rb,)
             y = jax.lax.scan(
                 lambda c, x: (fstep(c, x[0], x[1] if len(x) > 1 else None), 0),
                 y, xs,
@@ -101,11 +101,11 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
 
     # ---- backward: L^T x = y ----
     x = y
-    for r, Dinv in zip(reversed(runs), reversed(lv)):
-        if r.kind == "single":
-            x = bstep(x, r.b, Dinv)
+    for (kind, rb), Dinv in zip(reversed(runs), list(reversed(lv))):
+        if kind == "single":
+            x = bstep(x, rb, Dinv)
         else:
-            xs = (r.b, Dinv) if Dinv is not None else (r.b,)
+            xs = (rb, Dinv) if Dinv is not None else (rb,)
             x = jax.lax.scan(
                 lambda c, t: (bstep(c, t[0], t[1] if len(t) > 1 else None), 0),
                 x, xs, reverse=True,
@@ -115,10 +115,10 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, N_L: int, dtype, linv=None):
     return x[arrays["iperm"]]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "N_L", "dtype"))
-def _solve_jit(arrays, Lx, rhs, d, linv, n, N_L, dtype):
+@functools.partial(jax.jit, static_argnames=("n", "R_L", "dtype"))
+def _solve_jit(arrays, Lx, rhs, d, linv, n, R_L, dtype):
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(arrays, Lx, rhs, d, n=n, N_L=N_L, dtype=dtype,
+        return _solve_impl(arrays, Lx, rhs, d, n=n, R_L=R_L, dtype=dtype,
                            linv=linv)
 
 
@@ -135,4 +135,4 @@ def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None, linv=None):
     if d is None:
         d = jnp.ones((plan.n,), dtype=dtype)
     return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, linv, plan.n,
-                      plan.N_L, dtype)
+                      plan.R_L, dtype)

@@ -110,17 +110,19 @@ def plan_cost(plan) -> dict:
     true_f = plan.true_flops()
     padded_f = plan.padded_flops()
     itemsize = plan.dtype.itemsize
+    LANE = 128
     panel_elems = 0
     update_elems = 0
     for lev in plan.levels:
         for b in lev:
-            panel_elems += b.batch * (b.w_pad + b.mb_pad) * b.w_pad
+            panel_elems += b.batch * (b.w_pad + b.mb_pad) * LANE
             if b.mb_pad:
-                update_elems += b.batch * b.mb_pad * (b.mb_pad + 1) // 2
+                # one row scatter-add per (group, below row): RMW traffic
+                update_elems += b.batch * b.g_pad * b.mb_pad * LANE
     bytes_moved = itemsize * (
-        2 * panel_elems          # gather + scatter of every panel
-        + 3 * update_elems       # read C targets, add, write back
-        + plan.N_L               # initial value scatter
+        2 * panel_elems          # row gather + row scatter of every panel
+        + 3 * update_elems       # read target rows, add, write back
+        + plan.R_L * LANE        # initial value store
     )
     return {
         "true_flops": true_f,

