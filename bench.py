@@ -19,7 +19,7 @@ def main():
     setup_runtime()
     from sparsecholesky_tpu.bench import run_bench
 
-    matrix = os.environ.get("SPARSECHOL_BENCH_MATRIX", "poisson3d:24")
+    matrix = os.environ.get("SPARSECHOL_BENCH_MATRIX", "poisson3d:48")
     result = run_bench(matrix=matrix)
     out = {
         "metric": result["metric"],

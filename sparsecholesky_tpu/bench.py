@@ -35,7 +35,7 @@ def _cpu_baseline_seconds(A, repeats: int = 3) -> float:
 
 
 def run_bench(
-    matrix: str = "poisson3d:24",
+    matrix: str = "poisson3d:48",
     ordering: str = "auto-grid",
     dtype: str = "float32",
     backend: str = "xla",

@@ -143,7 +143,7 @@ def main(argv=None):
     def common(sp):
         sp.add_argument("matrix", nargs="?", default="1138_bus")
         sp.add_argument("--ordering", default="auto-grid",
-                        choices=["natural", "rcm", "amd", "nd-grid", "auto", "auto-grid"])
+                        choices=["natural", "rcm", "amd", "nd", "nd-grid", "auto", "auto-grid"])
         sp.add_argument("--dtype", default="float32")
         sp.add_argument("--backend", default="xla",
                         choices=["xla", "fused", "pallas"])

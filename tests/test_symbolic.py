@@ -128,3 +128,42 @@ def test_etree_rejects_lower():
     A.sym = "lower"
     with pytest.raises(sc.SymbolicError):
         sc.etree(A)
+
+
+def test_nested_dissection_reduces_fill():
+    from sparsecholesky_tpu.ordering import nested_dissection
+    from sparsecholesky_tpu.plan import compile_plan
+
+    A = generators.poisson2d(24)
+    perm = nested_dissection(A)
+    assert sorted(perm.tolist()) == list(range(A.n))
+    plan_nat = compile_plan(A)
+    plan_nd = compile_plan(A, perm=perm)
+    assert plan_nd.true_flops() < 0.6 * plan_nat.true_flops()
+    # factorization under the ND permutation stays correct
+    from sparsecholesky_tpu import numeric
+
+    Lx, _ = numeric.factorize(plan_nd, A.data)
+    L = plan_nd.extract_csc(np.asarray(Lx)).to_scipy()
+    Ap = A.to_scipy().toarray()[np.ix_(perm, perm)]
+    res = np.linalg.norm((L @ L.T).toarray() - Ap) / np.linalg.norm(Ap)
+    assert res < 1e-12
+
+
+def test_split_wide_supernodes():
+    from sparsecholesky_tpu import symbolic as sym
+
+    # a dense 300x300 block has one 300-wide fundamental supernode
+    A = generators.random_sparse(300, 1.0, seed=4)
+    S = sym.analyze(A, max_width=128)
+    widths = [S.sn_width(s) for s in range(S.ns)]
+    assert max(widths) <= 128
+    # chunk k+1 parents chunk k
+    from sparsecholesky_tpu.plan import compile_plan
+    from sparsecholesky_tpu import numeric
+
+    plan = compile_plan(A, dtype=np.float64)
+    Lx, _ = numeric.factorize(plan, A.data)
+    L = np.tril(plan.extract_csc(np.asarray(Lx)).to_dense())
+    Ld = np.linalg.cholesky(A.to_dense())
+    np.testing.assert_allclose(L, Ld, atol=1e-8)
