@@ -45,27 +45,32 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
     """
     perm = arrays["perm"]
     rhs = rhs.astype(dtype)
-    y = rhs[perm] * d  # permuted + equilibrated RHS
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+    y = rhs[perm] * d[:, None]  # permuted + equilibrated RHS, [n, k]
 
     def _lsolve(D, t, transpose):
+        # t: [B, w_pad, k]
         if linv is not None:
-            eq = "bji,bj->bi" if transpose else "bij,bj->bi"
+            eq = "bji,bjk->bik" if transpose else "bij,bjk->bik"
             return jnp.einsum(eq, D, t, preferred_element_type=dtype)
         return jax.lax.linalg.triangular_solve(
-            D, t[..., None], left_side=True, lower=True, transpose_a=transpose
-        )[..., 0]
+            D, t, left_side=True, lower=True, transpose_a=transpose
+        )
 
     def fstep(y, b, Dinv):
         w_pad = b.w_pad
         P = gather_panels(Lx, b, R_L)
         D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
         cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
-        ycols = jnp.take(y, cidx, mode="fill", fill_value=0)
+        ycols = jnp.take(y, cidx, axis=0, mode="fill", fill_value=0)
         z = _lsolve(D, ycols, transpose=False)
         y = y.at[cidx].set(z, mode="drop")
         if b.mb_pad:
             L21 = P[:, w_pad:, :]
-            u = jnp.einsum("bij,bj->bi", L21, z, preferred_element_type=dtype)
+            u = jnp.einsum("bij,bjk->bik", L21, z,
+                           preferred_element_type=dtype)
             bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
             y = y.at[bidx].add(-u, mode="drop")
         return y
@@ -75,12 +80,12 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
         P = gather_panels(Lx, b, R_L)
         D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
         cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
-        t = jnp.take(x, cidx, mode="fill", fill_value=0)
+        t = jnp.take(x, cidx, axis=0, mode="fill", fill_value=0)
         if b.mb_pad:
             L21 = P[:, w_pad:, :]
             bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
-            xb = jnp.take(x, bidx, mode="fill", fill_value=0)
-            t = t - jnp.einsum("bij,bi->bj", L21, xb,
+            xb = jnp.take(x, bidx, axis=0, mode="fill", fill_value=0)
+            t = t - jnp.einsum("bij,bik->bjk", L21, xb,
                                preferred_element_type=dtype)
         z = _lsolve(D, t, transpose=True)
         return x.at[cidx].set(z, mode="drop")
@@ -111,8 +116,9 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
                 x, xs, reverse=True,
             )[0]
 
-    x = x * d
-    return x[arrays["iperm"]]
+    x = x * d[:, None]
+    x = x[arrays["iperm"]]
+    return x[:, 0] if squeeze else x
 
 
 @functools.partial(jax.jit, static_argnames=("n", "R_L", "dtype"))

@@ -120,3 +120,29 @@ def test_determinism(bcsstk01):
     F1 = chol(bcsstk01)
     F2 = chol(bcsstk01)
     np.testing.assert_array_equal(np.asarray(F1.Lx), np.asarray(F2.Lx))
+
+
+def test_factorization_deterministic(bcsstk01):
+    """SURVEY.md §5: the static plan makes the device path race-free by
+    construction — two factorizations must agree bitwise."""
+    from sparsecholesky_tpu.plan import compile_plan
+    from sparsecholesky_tpu import numeric
+
+    plan = compile_plan(bcsstk01, dtype=np.float32)
+    arrays = numeric.device_arrays(plan)
+    Lx1, _ = numeric.factorize(plan, bcsstk01.data, arrays=arrays, scale=True)
+    Lx2, _ = numeric.factorize(plan, bcsstk01.data, arrays=arrays, scale=True)
+    assert np.array_equal(np.asarray(Lx1), np.asarray(Lx2))
+
+
+def test_multi_rhs_solve(bcsstk01):
+    from sparsecholesky_tpu.api import chol
+
+    F = chol(bcsstk01, scale=True)
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((bcsstk01.n, 5))
+    X = F.solve(B)
+    Asp = bcsstk01.to_scipy()
+    for k in range(5):
+        r = np.linalg.norm(Asp @ X[:, k] - B[:, k]) / np.linalg.norm(B[:, k])
+        assert r < 1e-4, r
