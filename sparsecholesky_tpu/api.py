@@ -118,8 +118,9 @@ class CholeskyFactor:
         for s in range(S.ns):
             w = int(self.plan.block_w[s])
             r0 = int(self.plan.row_off[s])
+            nseg = int(self.plan.block_nseg[s])
             jj = np.arange(w)
-            out[int(S.sn_ptr[s]) + jj] = Lx[r0 + jj, jj]
+            out[int(S.sn_ptr[s]) + jj] = Lx[r0 + jj * nseg + jj // 128, jj % 128]
         return out
 
     def refactorize(self, Ax) -> "CholeskyFactor":

@@ -59,13 +59,15 @@ class _BucketArrays:
     ujloc: jax.Array | None
     up: jax.Array | None    # [B, mb_pad, G_pad]
     urow0: jax.Array | None  # [B, G_pad]
+    ustride: jax.Array | None  # [B, G_pad]
     uj0: jax.Array | None    # [B, G_pad]
     uG: jax.Array | None     # [B]
 
     def tree_flatten(self):
         return (
             self.row0, self.w, self.mb, self.col_idx, self.below_idx,
-            self.ug, self.ujloc, self.up, self.urow0, self.uj0, self.uG,
+            self.ug, self.ujloc, self.up, self.urow0, self.ustride,
+            self.uj0, self.uG,
         ), None
 
     @classmethod
@@ -109,12 +111,14 @@ jax.tree_util.register_pytree_node(
 
 
 _FIELDS = ("row0", "w", "mb", "col_idx", "below_idx",
-           "ug", "ujloc", "up", "urow0", "uj0", "uG")
+           "ug", "ujloc", "up", "urow0", "ustride", "uj0", "uG")
 
 
 def _bucket_sig(b) -> tuple:
     """Static shape signature — steps with equal signatures can share one
-    compiled scan body."""
+    compiled scan body.  utile_g is deliberately NOT part of the signature:
+    scan groups take the elementwise max over their members (conservative,
+    correctness-neutral — extra groups are masked)."""
     G = 0 if b.up is None else b.up.shape[2]
     return (b.w_pad, b.mb_pad, len(b.sn_ids), G)
 
@@ -123,7 +127,7 @@ def _np_fields(b) -> dict:
     return dict(
         row0=b.row0, w=b.w, mb=b.mb, col_idx=b.col_idx,
         below_idx=b.below_idx, ug=b.ug, ujloc=b.ujloc, up=b.up,
-        urow0=b.urow0, uj0=b.uj0, uG=b.uG,
+        urow0=b.urow0, ustride=b.ustride, uj0=b.uj0, uG=b.uG,
     )
 
 
@@ -156,6 +160,10 @@ def build_runs(plan: FactorizePlan):
             j += 1
         group = steps[i:j]
         kind = "scan" if j - i >= 2 else "single"
+        utile_g = tuple(
+            max(b.utile_g[t] for b in group)
+            for t in range(len(group[0].utile_g))
+        ) if group[0].utile_g else ()
         spec = {}
         for f in _FIELDS:
             vals = [_np_fields(b)[f] for b in group]
@@ -166,7 +174,7 @@ def build_runs(plan: FactorizePlan):
             chunks[f].append(np.ascontiguousarray(arr, dtype=np.int32).ravel())
             spec[f] = (offs[f], arr.shape)
             offs[f] += arr.size
-        meta.append((kind, tuple(sorted(spec.items()))))
+        meta.append((kind, tuple(sorted(spec.items())), utile_g))
         i = j
     flat = {
         f: jnp.asarray(
@@ -177,10 +185,10 @@ def build_runs(plan: FactorizePlan):
     return flat, tuple(meta)
 
 
-def unpack_run(flat, rmeta) -> tuple[str, _BucketArrays]:
+def unpack_run(flat, rmeta):
     """Rebuild one run's _BucketArrays from the flat buffers via static
-    slices (free at compile time)."""
-    kind, spec = rmeta
+    slices (free at compile time).  Returns (kind, bucket, utile_g)."""
+    kind, spec, utile_g = rmeta
     fields = {}
     for f, fs in spec:
         if fs is None:
@@ -189,7 +197,7 @@ def unpack_run(flat, rmeta) -> tuple[str, _BucketArrays]:
             off, shape = fs
             size = int(np.prod(shape))
             fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
-    return kind, _BucketArrays(**fields)
+    return kind, _BucketArrays(**fields), utile_g
 
 
 def device_arrays(plan: FactorizePlan):
@@ -221,23 +229,37 @@ def iter_runs(arrays):
 # Affine panel row grids (device-computed; see plan.py layout)
 
 
-def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int):
-    """int32[B, w_pad + mb_pad] store-row indices of each assembled panel.
+def _nseg_pad(w_pad: int) -> int:
+    """Store segments per logical row for a width tier (tiers above LANE
+    are multiples of LANE)."""
+    return max(1, w_pad // LANE)
 
-    Rows [0, w) -> the supernode's own block rows; identity-padding rows
-    [w, w_pad) and below padding -> the out-of-bounds row R_L (gathers fill
-    0, scatters drop)."""
+
+def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int):
+    """int32[B, (w_pad + mb_pad) * nseg_pad] store-row indices of each
+    assembled panel, segment-major within a logical row.
+
+    Logical rows [0, w) -> the supernode's block rows (each spanning
+    nseg = ceil(w/LANE) consecutive store rows); identity-padding rows
+    [w, w_pad), below padding and out-of-range segments -> the
+    out-of-bounds row R_L (gathers fill 0, scatters drop)."""
     m_pad = w_pad + mb_pad
-    ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
-    r0 = b.row0[:, None]
-    wb = b.w[:, None]
-    mbb = b.mb[:, None]
+    nsp = _nseg_pad(w_pad)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad, 1), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nsp), 2)
+    r0 = b.row0[:, None, None]
+    wb = b.w[:, None, None]
+    mbb = b.mb[:, None, None]
+    nseg = (wb + (LANE - 1)) // LANE
     diag = ii < wb
     below = (ii >= w_pad) & (ii - w_pad < mbb)
-    return jnp.where(
-        diag, r0 + ii,
-        jnp.where(below, r0 + wb + (ii - w_pad), jnp.int32(R_L)),
+    r = jnp.where(diag, ii, wb + (ii - w_pad))
+    ridx = jnp.where(
+        (diag | below) & (kk < nseg),
+        r0 + r * nseg + kk,
+        jnp.int32(R_L),
     )
+    return ridx.reshape(ridx.shape[0], m_pad * nsp)
 
 
 def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None):
@@ -245,9 +267,11 @@ def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None):
     padding (P[i, i] += 1 for i in [w, w_pad))."""
     w_pad = b.w_pad
     mb_pad = b.mb_pad if mb_pad is None else mb_pad
+    nsp = _nseg_pad(w_pad)
     ridx = panel_rows(b, R_L, w_pad=w_pad, mb_pad=mb_pad)
-    P = jnp.take(Lx, ridx, axis=0, mode="fill", fill_value=0)[:, :, :w_pad]
     m_pad = w_pad + mb_pad
+    P = jnp.take(Lx, ridx, axis=0, mode="fill", fill_value=0)
+    P = P.reshape(P.shape[0], m_pad, nsp * LANE)[:, :, :w_pad]
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad, 1), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_pad), 2)
     wb = b.w[:, None, None]
@@ -258,28 +282,35 @@ def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None):
 def scatter_panels(Lx, b: _BucketArrays, L, R_L: int):
     """Write factored panels back: one row-scatter.  Lanes beyond w_pad are
     zero-filled (the store's dead lanes stay zero); identity/padding rows
-    map out of bounds and drop."""
+    and out-of-range segments map out of bounds and drop."""
     w_pad = b.w_pad
+    nsp = _nseg_pad(w_pad)
     ridx = panel_rows(b, R_L, w_pad=w_pad, mb_pad=b.mb_pad)
-    if w_pad < LANE:
-        L = jnp.pad(L, ((0, 0), (0, 0), (0, LANE - w_pad)))
+    if w_pad < nsp * LANE:
+        L = jnp.pad(L, ((0, 0), (0, 0), (0, nsp * LANE - w_pad)))
+    L = L.reshape(L.shape[0], L.shape[1] * nsp, LANE)
     return Lx.at[ridx].set(L, mode="drop")
 
 
 # Tile edge for Schur updates: the per-ancestor update matmul and its row
-# scatter-add are chunked over below rows to bound transient memory.
-UPDATE_TILE = 1024
+# scatter-add are chunked over below rows to bound transient memory and to
+# exploit the static per-tile owner bound (plan.Bucket.utile_g).
+UPDATE_TILE = 512
 
 
-def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype):
+def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
+                       utile_g=()):
     """Lane-aligned extend-add (see plan.py):
 
       V[b, g, lane, :]   = L21[b, j, :]  at lane ujloc(j), group ug(j)
       C[b, g, i, lane]   = L21[b, i, :] . V[b, g, lane, :]   (MXU)
-      store_row(urow0[g] + up[i, g])    -= C[b, g, i, :]     (row scatter)
+      store_row(urow0[g] + up[i, g]*stride) -= C[b, g, i, :] (row scatter)
 
     Terms with r_i < r_j land on strict-upper scratch; rows with no valid
     pair (i < uj0[g]) or padded groups (g >= uG) mask to out-of-bounds.
+    Per i-tile, only the first utile_g[tile] owner groups are touched
+    (owners are sorted by uj0), which eliminates both the lower-triangle
+    and the group-padding waste of the full [G_pad, mb_pad] grid.
     """
     B, mb_pad, w_pad = L21.shape
     G_pad = b.g_pad
@@ -294,18 +325,23 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype):
     V = V.at[vrow.reshape(-1)].set(L21.reshape(-1, w_pad), mode="drop")
     V = V.reshape(B, G_pad, LANE, w_pad)
 
-    gg = jax.lax.broadcasted_iota(jnp.int32, (1, G_pad, 1), 1)
-    for i0 in range(0, mb_pad, UPDATE_TILE):
+    ntiles = -(-mb_pad // UPDATE_TILE)
+    if not utile_g:
+        utile_g = (G_pad,) * ntiles
+    for ti in range(ntiles):
+        i0 = ti * UPDATE_TILE
         i1 = min(mb_pad, i0 + UPDATE_TILE)
+        gt = min(int(utile_g[ti]), G_pad)
         C = jnp.einsum(
-            "bik,bgck->bgic", L21[:, i0:i1], V,
+            "bik,bgck->bgic", L21[:, i0:i1], V[:, :gt],
             preferred_element_type=dtype,
-        )                                           # [B, G, t, LANE]
-        pos = jnp.swapaxes(b.up[:, i0:i1, :], 1, 2)  # [B, G, t]
-        rows = b.urow0[:, :, None] + pos
+        )                                           # [B, gt, t, LANE]
+        pos = jnp.swapaxes(b.up[:, i0:i1, :gt], 1, 2)  # [B, gt, t]
+        rows = b.urow0[:, :gt, None] + pos * b.ustride[:, :gt, None]
         ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, i1 - i0), 2)
+        gg = jax.lax.broadcasted_iota(jnp.int32, (1, gt, 1), 1)
         valid = (
-            (ii >= b.uj0[:, :, None])
+            (ii >= b.uj0[:, :gt, None])
             & (ii < b.mb[:, None, None])
             & (gg < b.uG[:, None, None])
         )
@@ -423,7 +459,7 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
     Ax = Ax.astype(jnp.result_type(Ax.dtype))
     Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
 
-    def step(Lx, b):
+    def step(Lx, b, utile_g):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L)
         L, minpiv = _panel_factor(P, w_pad, backend)
@@ -431,16 +467,19 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
         if mb_pad:
             # Schur updates target strictly later levels (assembly-tree
             # ancestors), never a peer, so immediate application is safe.
-            Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype)
+            Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype,
+                                    utile_g)
         return Lx, minpiv
 
     minpivs = []
-    for kind, rb in iter_runs(arrays):
+    for kind, rb, utile_g in iter_runs(arrays):
         if kind == "single":
-            Lx, mp = step(Lx, rb)
+            Lx, mp = step(Lx, rb, utile_g)
             minpivs.append(mp)
         else:
-            Lx, mps = jax.lax.scan(step, Lx, rb)
+            Lx, mps = jax.lax.scan(
+                lambda c, x: step(c, x, utile_g), Lx, rb
+            )
             minpivs.append(mps.reshape(-1))
     minpiv_flat = (
         jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
@@ -526,7 +565,7 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
         )
 
     out = []
-    for kind, rb in iter_runs(arrays):
+    for kind, rb, _ug in iter_runs(arrays):
         if kind == "single":
             out.append(one(rb))
         else:

@@ -77,13 +77,15 @@ def shard_plan(plan: FactorizePlan, ndev: int):
         for b in lev:
             for k in range(b.batch):
                 r0 = int(b.row0[k]); wk = int(b.w[k]); mbk = int(b.mb[k])
-                touched.append(np.arange(r0, r0 + wk + mbk))
+                nseg = -(-wk // 128) if wk else 1
+                touched.append(np.arange(r0, r0 + (wk + mbk) * nseg))
                 if b.ug is not None and mbk:
                     G = int(b.uG[k])
                     for g in range(G):
                         j0 = int(b.uj0[k, g])
                         touched.append(
-                            b.urow0[k, g] + b.up[k, j0:mbk, g]
+                            b.urow0[k, g]
+                            + b.up[k, j0:mbk, g] * b.ustride[k, g]
                         )
         xrows = (
             np.unique(np.concatenate(touched)).astype(np.int64)
@@ -97,7 +99,7 @@ def shard_plan(plan: FactorizePlan, ndev: int):
             Bd = -(-B // ndev)
             pad = Bd * ndev - B
             fills = dict(row0=0, w=0, mb=0, col_idx=-1, below_idx=-1,
-                         ug=0, ujloc=0, up=0, urow0=0,
+                         ug=0, ujloc=0, up=0, urow0=0, ustride=1,
                          uj0=b.mb_pad, uG=0)
             spec = {}
             fv = _np_fields(b)
@@ -114,7 +116,7 @@ def shard_plan(plan: FactorizePlan, ndev: int):
                 chunks[f].append(flat2)
                 spec[f] = (offs[f], arr.shape[1:])
                 offs[f] += flat2.shape[1]
-            lmeta.append(tuple(sorted(spec.items())))
+            lmeta.append((tuple(sorted(spec.items())), b.utile_g))
         meta.append(tuple(lmeta))
     flat = {
         f: jnp.asarray(
@@ -167,7 +169,7 @@ def _sharded_factorize_body(arrays, Ax, *, R_L, dtype, axis: str, scale: bool):
     levels_meta, xmeta = arrays["meta"].value
     for lmeta, (xoff, xlen) in zip(levels_meta, xmeta):
         delta = jnp.zeros_like(Lx)
-        for spec in lmeta:
+        for spec, utile_g in lmeta:
             bl = _unpack_local(arrays["flat"], spec)
             Pn = gather_panels(Lx, bl, R_L)
             L, piv = _panel_factor(Pn, bl.w_pad, "xla")
@@ -177,7 +179,7 @@ def _sharded_factorize_body(arrays, Ax, *, R_L, dtype, axis: str, scale: bool):
             delta = scatter_panels(delta, bl, L - Pn, R_L)
             if bl.mb_pad:
                 delta = apply_schur_update(
-                    delta, bl, L[:, bl.w_pad:, :], R_L, dtype
+                    delta, bl, L[:, bl.w_pad:, :], R_L, dtype, utile_g
                 )
         # halo exchange: only the rows this level writes (panel rows +
         # update targets, a static host-computed union) ride the psum.

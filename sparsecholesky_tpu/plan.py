@@ -62,8 +62,11 @@ from .csc import CSCMatrix, INDEX_DTYPE
 from .errors import SymbolicError
 from .symbolic import SymbolicFactor, analyze
 
-# Lane width of the block store (f32 vector lane count; also the supernode
-# max width — plan compilation enforces max_width <= LANE).
+# Lane width of the block store (f32 vector lane count).  Supernodes wider
+# than LANE are stored SEGMENTED: logical block row i occupies
+# ceil(w/LANE) consecutive store rows (see panel addressing in numeric.py),
+# so dense separators factor as single tall panels instead of chains of
+# 128-column chunks exchanging Schur updates through the store.
 LANE = 128
 
 # Padding tiers. Second-to-last dim of a f32 tile is 8; lane dim 128.
@@ -74,7 +77,12 @@ def _pad_w(w: int) -> int:
     for t in _W_TIERS:
         if w <= t:
             return t
-    raise SymbolicError(f"supernode width {w} exceeds the {LANE}-lane store")
+    # wide (segmented) supernodes: multiples of LANE, coarser when huge —
+    # there are only a handful of them (one per separator), so fine tiers
+    # cost little compile time and save panel padding
+    if w <= 2048:
+        return -(-w // LANE) * LANE
+    return -(-w // 512) * 512
 
 
 def _pad_mb(mb: int) -> int:
@@ -87,8 +95,12 @@ def _pad_mb(mb: int) -> int:
     return -(-mb // 512) * 512
 
 
+# Tile edge for the extend-add i-dimension; must match numeric.UPDATE_TILE.
+_UPDATE_TILE = 512
+
+
 def _pad_g(g: int) -> int:
-    for t in (1, 2, 4, 8, 16, 32, 64, 128):
+    for t in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
         if g <= t:
             return t
     return -(-g // 64) * 64
@@ -110,12 +122,21 @@ class Bucket:
     col_idx: np.ndarray       # int32[B, w_pad] global (permuted) column ids / -1
     below_idx: np.ndarray     # int32[B, mb_pad] global (permuted) row ids / -1
     # factored Schur-update map (all None when mb_pad == 0):
+    # Distinct "owners" are (ancestor supernode, 128-lane segment) pairs,
+    # so every owner spans <= LANE lanes even when the ancestor is wide.
     ug: np.ndarray | None     # int32[B, mb_pad] rank of column j's owner
     ujloc: np.ndarray | None  # int32[B, mb_pad] lane of column j in its owner
     up: np.ndarray | None     # int32[B, mb_pad, G_pad] row position in owner
-    urow0: np.ndarray | None  # int32[B, G_pad] first store row of owner
+    urow0: np.ndarray | None  # int32[B, G_pad] store row of owner's row 0
+    ustride: np.ndarray | None  # int32[B, G_pad] store rows per owner row
     uj0: np.ndarray | None    # int32[B, G_pad] first below index owned
     uG: np.ndarray | None     # int32[B] number of real owners
+    # static schedule hint: for each UPDATE_TILE i-tile, the max (over the
+    # batch) number of leading owner groups with uj0 < tile end — owners are
+    # sorted by uj0, so groups beyond this bound have no valid row in the
+    # tile and their C slice is never computed (kills the triangle + G
+    # padding waste of the extend-add)
+    utile_g: tuple = ()
 
     @property
     def batch(self) -> int:
@@ -151,6 +172,7 @@ class FactorizePlan:
     row_off: np.ndarray       # int64[ns] first store row of each supernode
     block_w: np.ndarray       # int64[ns]
     block_m: np.ndarray       # int64[ns]
+    block_nseg: np.ndarray    # int64[ns] store rows per logical block row
     entry_row: np.ndarray     # int64[nnz(A)] store row of each A entry
     entry_lane: np.ndarray    # int64[nnz(A)] store lane of each A entry
     entry_plo: np.ndarray     # int32[nnz(A)] permuted min coordinate (L column)
@@ -180,7 +202,9 @@ class FactorizePlan:
         r0 = int(self.row_off[s])
         m = int(self.block_m[s])
         w = int(self.block_w[s])
-        return np.asarray(Lx2d[r0 : r0 + m, :w])
+        nseg = int(self.block_nseg[s])
+        rows = np.asarray(Lx2d[r0 : r0 + m * nseg]).reshape(m, nseg * LANE)
+        return rows[:, :w]
 
     def extract_csc(self, Lx2d: np.ndarray, row_scale: np.ndarray | None = None
                     ) -> CSCMatrix:
@@ -276,15 +300,12 @@ def compile_plan(
 
     ns = S.ns
     block_w = (S.sn_ptr[1:] - S.sn_ptr[:-1]).astype(np.int64)
-    if ns and int(block_w.max()) > LANE:
-        raise SymbolicError(
-            f"supernode width {int(block_w.max())} exceeds the {LANE}-lane "
-            "store; re-run analyze with max_width <= 128"
-        )
     block_m = np.array([len(r) for r in S.sn_rows], dtype=np.int64)
+    block_nseg = -(-block_w // LANE)
+    block_rows = block_m * block_nseg
     row_off = np.zeros(ns, dtype=np.int64)
-    np.cumsum(block_m[:-1], out=row_off[1:])
-    R_L = int(block_m.sum())
+    np.cumsum(block_rows[:-1], out=row_off[1:])
+    R_L = int(block_rows.sum())
     if R_L + 2 >= np.iinfo(np.int32).max:
         raise SymbolicError(
             f"block store of {R_L} rows exceeds int32 addressing; "
@@ -310,17 +331,19 @@ def compile_plan(
 
     # ---- entry scatter map: original A entry -> store (row, lane) -------
     # Entry (lo, hi) of the permuted upper pattern is L(hi, lo): owner
-    # supernode t = sn_id[lo], row = row_off[t] + pos(hi), lane = lo - c0_t.
+    # supernode t = sn_id[lo];
+    # row = row_off[t] + pos(hi)*nseg_t + jloc//LANE, lane = jloc % LANE.
     lo = pAi.astype(np.int64)
     hi = np.repeat(np.arange(n, dtype=np.int64), np.diff(pAp))
     t = S.sn_id[lo].astype(np.int64)
     pos = _positions(t, hi)
+    jloc = lo - sn_ptr[t]
     entry_row = np.empty(A.nnz, dtype=np.int64)
     entry_lane = np.empty(A.nnz, dtype=np.int64)
     entry_plo = np.empty(A.nnz, dtype=np.int64)
     entry_phi = np.empty(A.nnz, dtype=np.int64)
-    entry_row[pAe] = row_off[t] + pos
-    entry_lane[pAe] = lo - sn_ptr[t]
+    entry_row[pAe] = row_off[t] + pos * block_nseg[t] + jloc // LANE
+    entry_lane[pAe] = jloc % LANE
     entry_plo[pAe] = lo
     entry_phi[pAe] = hi
 
@@ -346,7 +369,7 @@ def compile_plan(
             buckets.append(
                 _build_bucket(
                     S, sns, w_pad, mb_pad, row_off, block_w, block_m,
-                    sn_row_off, K, n,
+                    block_nseg, sn_row_off, K, n,
                 )
             )
         levels_out.append(buckets)
@@ -360,6 +383,7 @@ def compile_plan(
         row_off=row_off,
         block_w=block_w,
         block_m=block_m,
+        block_nseg=block_nseg,
         entry_row=entry_row,
         entry_lane=entry_lane,
         entry_plo=entry_plo,
@@ -371,7 +395,8 @@ def compile_plan(
 
 
 def _build_bucket(
-    S, sns, w_pad, mb_pad, row_off, block_w, block_m, sn_row_off, K, n
+    S, sns, w_pad, mb_pad, row_off, block_w, block_m, block_nseg,
+    sn_row_off, K, n
 ) -> Bucket:
     B = len(sns)
     sns_a = np.asarray(sns, dtype=np.int64)
@@ -383,7 +408,10 @@ def _build_bucket(
     below_idx = np.full((B, mb_pad), -1, dtype=np.int64)
     sn_ptr = S.sn_ptr
 
-    # distinct ancestor supernodes each panel's below rows touch
+    # distinct owners each panel's below rows touch: (ancestor supernode,
+    # 128-lane segment) pairs, encoded as t * segbound + jloc // LANE so
+    # every owner spans <= LANE lanes even when the ancestor is wide
+    segbound = n // LANE + 2
     G_max = 1
     per_sn = []
     for b, s in enumerate(sns):
@@ -395,9 +423,11 @@ def _build_bucket(
             br = S.sn_rows[s][wb:]
             below_idx[b, :mbb] = br
             tgt = S.sn_id[br].astype(np.int64)   # non-decreasing (br sorted)
-            distinct = np.unique(tgt)
+            jloc = br - sn_ptr[tgt]
+            keys = tgt * segbound + jloc // LANE  # sorted (br sorted)
+            distinct = np.unique(keys)
             G_max = max(G_max, len(distinct))
-            per_sn.append((b, br, tgt, distinct))
+            per_sn.append((b, br, tgt, jloc, keys, distinct))
 
     if mb_pad == 0:
         return Bucket(
@@ -408,28 +438,45 @@ def _build_bucket(
             mb=mb.astype(INDEX_DTYPE),
             col_idx=col_idx.astype(INDEX_DTYPE),
             below_idx=below_idx.astype(INDEX_DTYPE),
-            ug=None, ujloc=None, up=None, urow0=None, uj0=None, uG=None,
+            ug=None, ujloc=None, up=None, urow0=None, ustride=None,
+            uj0=None, uG=None,
         )
 
     G_pad = _pad_g(G_max)
     ug = np.zeros((B, mb_pad), dtype=np.int64)
-    ujloc = np.zeros((B, mb_pad), dtype=np.int64)
+    ujloc_a = np.zeros((B, mb_pad), dtype=np.int64)
     up = np.zeros((B, mb_pad, G_pad), dtype=np.int64)
     urow0 = np.zeros((B, G_pad), dtype=np.int64)
+    ustride = np.ones((B, G_pad), dtype=np.int64)
     uj0 = np.full((B, G_pad), mb_pad, dtype=np.int64)  # pad: mask everything
     uG = np.zeros(B, dtype=np.int64)
-    for b, br, tgt, distinct in per_sn:
+    for b, br, tgt, jloc, keys, distinct in per_sn:
         mbb = len(br)
         G = len(distinct)
         uG[b] = G
-        ug[b, :mbb] = np.searchsorted(distinct, tgt)
-        ujloc[b, :mbb] = br - sn_ptr[tgt]
-        urow0[b, :G] = row_off[distinct]
-        uj0[b, :G] = np.searchsorted(tgt, distinct)
-        # position of every below row within every distinct target's rows
-        q = (distinct[None, :] * n + br[:, None]).ravel()
+        ug[b, :mbb] = np.searchsorted(distinct, keys)
+        ujloc_a[b, :mbb] = jloc % LANE
+        dt = distinct // segbound          # owner supernode of each group
+        dseg = distinct % segbound         # owner lane segment
+        urow0[b, :G] = row_off[dt] + dseg
+        ustride[b, :G] = block_nseg[dt]
+        uj0[b, :G] = np.searchsorted(keys, distinct)
+        # position of every below row within every distinct owner's rows
+        q = (dt[None, :] * n + br[:, None]).ravel()
         g = np.searchsorted(K, q).reshape(mbb, G)
-        up[b, :mbb, :G] = g - sn_row_off[distinct][None, :]
+        up[b, :mbb, :G] = g - sn_row_off[dt][None, :]
+
+    # per-i-tile owner-group bound (owners sorted by uj0 within a panel)
+    tile = _UPDATE_TILE
+    ntiles = -(-mb_pad // tile)
+    utile_g = []
+    for ti in range(ntiles):
+        i1 = min(mb_pad, (ti + 1) * tile)
+        gmax = 1
+        for b in range(B):
+            G = int(uG[b])
+            gmax = max(gmax, int(np.searchsorted(uj0[b, :G], i1, side="left")))
+        utile_g.append(gmax)
 
     return Bucket(
         w_pad=w_pad, mb_pad=mb_pad,
@@ -440,9 +487,11 @@ def _build_bucket(
         col_idx=col_idx.astype(INDEX_DTYPE),
         below_idx=below_idx.astype(INDEX_DTYPE),
         ug=ug.astype(INDEX_DTYPE),
-        ujloc=ujloc.astype(INDEX_DTYPE),
+        ujloc=ujloc_a.astype(INDEX_DTYPE),
         up=up.astype(INDEX_DTYPE),
         urow0=urow0.astype(INDEX_DTYPE),
+        ustride=ustride.astype(INDEX_DTYPE),
         uj0=uj0.astype(INDEX_DTYPE),
         uG=uG.astype(INDEX_DTYPE),
+        utile_g=tuple(utile_g),
     )

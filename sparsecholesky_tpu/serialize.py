@@ -22,7 +22,7 @@ from .csc import INDEX_DTYPE
 from .plan import Bucket, FactorizePlan
 from .symbolic import SymbolicFactor
 
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 4
 
 
 def _bucket_fields(b: Bucket) -> dict:
@@ -38,7 +38,8 @@ def _bucket_fields(b: Bucket) -> dict:
     }
     if b.ug is not None:
         out.update(ug=b.ug, ujloc=b.ujloc, up=b.up, urow0=b.urow0,
-                   uj0=b.uj0, uG=b.uG)
+                   ustride=b.ustride, uj0=b.uj0, uG=b.uG,
+                   utile_g=np.asarray(b.utile_g, dtype=np.int64))
     return out
 
 
@@ -66,6 +67,7 @@ def save_plan(path: str, plan: FactorizePlan) -> None:
         "row_off": plan.row_off,
         "block_w": plan.block_w,
         "block_m": plan.block_m,
+        "block_nseg": plan.block_nseg,
         "entry_row": plan.entry_row,
         "entry_lane": plan.entry_lane,
         "entry_plo": plan.entry_plo,
@@ -160,8 +162,13 @@ def load_plan(path: str) -> FactorizePlan:
                     ujloc=z[pre + "ujloc"] if has_upd else None,
                     up=z[pre + "up"] if has_upd else None,
                     urow0=z[pre + "urow0"] if has_upd else None,
+                    ustride=z[pre + "ustride"] if has_upd else None,
                     uj0=z[pre + "uj0"] if has_upd else None,
                     uG=z[pre + "uG"] if has_upd else None,
+                    utile_g=(
+                        tuple(int(v) for v in z[pre + "utile_g"])
+                        if has_upd else ()
+                    ),
                 )
             )
         levels.append(bl)
@@ -174,6 +181,7 @@ def load_plan(path: str) -> FactorizePlan:
         row_off=z["row_off"],
         block_w=z["block_w"],
         block_m=z["block_m"],
+        block_nseg=z["block_nseg"],
         entry_row=z["entry_row"],
         entry_lane=z["entry_lane"],
         entry_plo=z["entry_plo"],

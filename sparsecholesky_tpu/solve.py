@@ -90,7 +90,7 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
         z = _lsolve(D, t, transpose=True)
         return x.at[cidx].set(z, mode="drop")
 
-    runs = list(iter_runs(arrays))
+    runs = [(k, rb) for k, rb, _u in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)
 
     # ---- forward: L y = b ----

@@ -579,7 +579,10 @@ def analyze(
                 sn_ptr, rows, parent,
                 relax_ratio=relax_ratio, small=small, max_width=max_width,
             )
-    sn_ptr, rows = split_wide_supernodes(sn_ptr, rows, max_width)
+    # NOTE: wide fundamental supernodes (dense separators/tails) are NOT
+    # split — the numeric layer stores them segmented and factors them as
+    # single tall panels (plan.py "segmented" layout), which eliminates the
+    # chain of inter-chunk Schur updates a split would create.
     ns = len(sn_ptr) - 1
     sn_id = np.zeros(A.n, dtype=INDEX_DTYPE)
     for s in range(ns):

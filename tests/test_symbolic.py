@@ -150,19 +150,17 @@ def test_nested_dissection_reduces_fill():
     assert res < 1e-12
 
 
-def test_split_wide_supernodes():
-    from sparsecholesky_tpu import symbolic as sym
-
-    # a dense 300x300 block has one 300-wide fundamental supernode
-    A = generators.random_sparse(300, 1.0, seed=4)
-    S = sym.analyze(A, max_width=128)
-    widths = [S.sn_width(s) for s in range(S.ns)]
-    assert max(widths) <= 128
-    # chunk k+1 parents chunk k
+def test_wide_supernode_segmented_store():
+    # a dense 300x300 block is ONE 300-wide supernode, stored segmented
+    # (3 store rows per logical row) and factored as a single tall panel
     from sparsecholesky_tpu.plan import compile_plan
     from sparsecholesky_tpu import numeric
 
+    A = generators.random_sparse(300, 1.0, seed=4)
     plan = compile_plan(A, dtype=np.float64)
+    wide = [s for s in range(plan.ns) if plan.block_w[s] > 128]
+    assert wide, "expected a wide supernode for a dense matrix"
+    assert all(plan.block_nseg[s] == -(-plan.block_w[s] // 128) for s in wide)
     Lx, _ = numeric.factorize(plan, A.data)
     L = np.tril(plan.extract_csc(np.asarray(Lx)).to_dense())
     Ld = np.linalg.cholesky(A.to_dense())
