@@ -505,6 +505,17 @@ class SymbolicFactor:
             self._strict = (Lp, Li)
         return self._strict
 
+    def has_entry(self, i: int, j: int) -> bool:
+        """Structural probe of L's strict pattern (symmetry-aware) — the
+        reference's ``SChol::operator[](i, j)``
+        (/root/reference/include/chol.hpp:113-124)."""
+        if i < j:
+            i, j = j, i
+        Lp, Li = self._strict_pattern()
+        lo, hi = int(Lp[j]), int(Lp[j + 1])
+        k = int(np.searchsorted(Li[lo:hi], i))
+        return k < hi - lo and int(Li[lo + k]) == i
+
     @property
     def strict_Lp(self) -> np.ndarray:
         return self._strict_pattern()[0]

@@ -165,3 +165,16 @@ def test_wide_supernode_segmented_store():
     L = np.tril(plan.extract_csc(np.asarray(Lx)).to_dense())
     Ld = np.linalg.cholesky(A.to_dense())
     np.testing.assert_allclose(L, Ld, atol=1e-8)
+
+
+def test_schol_entry_probe(thesis_A):
+    # mirrors the reference's SChol operator[] boolean probe
+    S = symbolic.analyze(thesis_A)
+    Lp, Li = S._strict_pattern()
+    dense = np.zeros((S.n, S.n), dtype=bool)
+    for j in range(S.n):
+        dense[Li[Lp[j]:Lp[j+1]], j] = True
+    for i in range(S.n):
+        for j in range(S.n):
+            expect = dense[max(i, j), min(i, j)]
+            assert S.has_entry(i, j) == expect
