@@ -402,6 +402,109 @@ sct_result* sct_supernodal_analyze(int64_t n, const int64_t* Ap,
     return res;
 }
 
+// ---------------------------------------------------------------------------
+// Approximate minimum-degree ordering (quotient-graph variant).
+//
+// Greedy minimum-degree on the quotient graph: eliminating variable p
+// turns it into an element whose boundary is Lp = A_p ∪ (∪_{e∋p} L_e);
+// neighbors' degrees are recomputed approximately (external degree bound
+// d_i <= |A_i| + Σ |L_e|), with element absorption.  Complements the exact
+// Python AMD (ordering.amd) for large matrices; the BFS nested dissection
+// (ordering.nested_dissection) remains the choice for huge meshes.
+
+int32_t sct_amd_order(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                      int32_t* perm_out) {
+    // adjacency (symmetric, no diagonal): variable lists mutate in place
+    std::vector<std::vector<int32_t>> adj(n);
+    for (int64_t j = 0; j < n; ++j)
+        for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+            int32_t i = Ai[p];
+            if (i == (int32_t)j) continue;
+            adj[i].push_back((int32_t)j);
+            adj[j].push_back(i);
+        }
+    std::vector<std::vector<int32_t>> elem_bound;   // element boundaries
+    std::vector<std::vector<int32_t>> var_elems(n); // elements touching var
+    std::vector<int64_t> degree(n);
+    std::vector<uint8_t> alive(n, 1);
+    std::vector<int32_t> stamp(n, -1);
+    // bucket queue keyed by approximate degree
+    for (int64_t v = 0; v < n; ++v) degree[v] = (int64_t)adj[v].size();
+    std::vector<std::vector<int32_t>> bucket(n + 1);
+    std::vector<int64_t> inbucket(n);
+    for (int64_t v = 0; v < n; ++v) {
+        int64_t d = degree[v] < n ? degree[v] : n;
+        bucket[d].push_back((int32_t)v);
+        inbucket[v] = d;
+    }
+    int64_t mind = 0, k = 0;
+    int32_t cur_stamp = 0;
+    std::vector<int32_t> Lp_work;
+    while (k < n) {
+        while (mind <= n && bucket[mind].empty()) ++mind;
+        if (mind > n) return 1;
+        int32_t p = bucket[mind].back();
+        bucket[mind].pop_back();
+        if (!alive[p] || inbucket[p] != mind) continue;  // stale entry
+        // eliminate p: boundary = alive(adj[p]) ∪ alive(∪ elements of p)
+        ++cur_stamp;
+        Lp_work.clear();
+        stamp[p] = cur_stamp;
+        for (int32_t u : adj[p])
+            if (alive[u] && stamp[u] != cur_stamp) {
+                stamp[u] = cur_stamp;
+                Lp_work.push_back(u);
+            }
+        for (int32_t e : var_elems[p])
+            for (int32_t u : elem_bound[e])
+                if (alive[u] && stamp[u] != cur_stamp) {
+                    stamp[u] = cur_stamp;
+                    Lp_work.push_back(u);
+                }
+        perm_out[k++] = p;
+        alive[p] = 0;
+        int32_t eid = (int32_t)elem_bound.size();
+        elem_bound.push_back(Lp_work);
+        // update boundary variables: absorb p's elements, add element eid,
+        // prune dead vars from adjacency, recompute approximate degree
+        for (int32_t u : Lp_work) {
+            auto& au = adj[u];
+            size_t w = 0;
+            for (size_t r = 0; r < au.size(); ++r)
+                if (alive[au[r]]) au[w++] = au[r];
+            au.resize(w);
+            auto& eu = var_elems[u];
+            w = 0;
+            bool have = false;
+            for (size_t r = 0; r < eu.size(); ++r) {
+                int32_t e = eu[r];
+                bool absorbed = false;
+                for (int32_t pe : var_elems[p])
+                    if (e == pe) { absorbed = true; break; }
+                if (!absorbed) {
+                    if (e == eid) have = true;
+                    eu[w++] = e;
+                }
+            }
+            eu.resize(w);
+            if (!have) eu.push_back(eid);
+            // approximate external degree: distinct adj + element bounds
+            int64_t d = (int64_t)au.size();
+            for (int32_t e : eu) d += (int64_t)elem_bound[e].size() - 1;
+            if (d > n) d = n;
+            if (d < 0) d = 0;
+            degree[u] = d;
+            bucket[d].push_back(u);
+            inbucket[u] = d;
+            if (d < mind) mind = d;
+        }
+        var_elems[p].clear();
+        adj[p].clear();
+    }
+    return 0;
+}
+
+
 void sct_free_result(sct_result* res) {
     if (!res) return;
     delete[] res->parent;

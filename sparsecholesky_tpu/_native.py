@@ -50,6 +50,8 @@ def _load():
     ]
     lib.sct_free_result.restype = None
     lib.sct_free_result.argtypes = [ctypes.POINTER(_SctResult)]
+    lib.sct_amd_order.restype = ctypes.c_int32
+    lib.sct_amd_order.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
     _lib = lib
     return lib
 
@@ -143,3 +145,15 @@ def supernodal_analyze(A, *, relax_ratio=0.35, small=16, max_width=128,
     finally:
         lib.sct_free_result(res)
     return parent, post, counts, sn_ptr, sn_rows
+
+
+def amd_order(A):
+    """Native approximate-minimum-degree permutation (quotient graph)."""
+    lib = _load()
+    Ap = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    Ai = np.ascontiguousarray(A.indices, dtype=np.int32)
+    perm = np.empty(A.n, dtype=np.int32)
+    rc = lib.sct_amd_order(A.n, _p64(Ap), _p32(Ai), _p32(perm))
+    if rc != 0:
+        raise RuntimeError("native amd_order failed")
+    return perm.astype(np.int64)

