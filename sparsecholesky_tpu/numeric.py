@@ -501,6 +501,67 @@ def _factorize_jit(arrays, Ax, R_L, dtype, backend, scale):
         )
 
 
+# ---------------------------------------------------------------------------
+# Chunked execution: very large plans (hundreds of distinct step shapes)
+# compile as several smaller executables instead of one — XLA compile
+# memory/time grows superlinearly with program size, and the chunks
+# dispatch asynchronously back-to-back so steady-state cost is unchanged.
+
+#: one-jit threshold; plans with more runs than this compile chunked
+CHUNK_RUNS = 96
+
+
+@functools.partial(jax.jit, static_argnames=("R_L", "dtype", "scale"))
+def _init_jit(arrays, Ax, R_L, dtype, scale):
+    Ax = Ax.astype(jnp.result_type(Ax.dtype))
+    return _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("R_L", "dtype", "backend", "lo", "hi"),
+    donate_argnums=(1,),
+)
+def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi):
+    def step(Lx, b, utile_g):
+        w_pad, mb_pad = b.w_pad, b.mb_pad
+        P = gather_panels(Lx, b, R_L)
+        L, minpiv = _panel_factor(P, w_pad, backend)
+        Lx = scatter_panels(Lx, b, L, R_L)
+        if mb_pad:
+            Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype,
+                                    utile_g)
+        return Lx, minpiv
+
+    minpivs = []
+    with jax.default_matmul_precision("highest"):
+        for rmeta in arrays["meta"].value[lo:hi]:
+            kind, rb, utile_g = unpack_run(arrays["flat"], rmeta)
+            if kind == "single":
+                Lx, mp = step(Lx, rb, utile_g)
+                minpivs.append(mp)
+            else:
+                Lx, mps = jax.lax.scan(
+                    lambda c, x: step(c, x, utile_g), Lx, rb
+                )
+                minpivs.append(mps.reshape(-1))
+    minpiv_flat = (
+        jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
+    )
+    return Lx, minpiv_flat
+
+
+def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale):
+    nruns = len(arrays["meta"].value)
+    Lx, d = _init_jit(arrays, jnp.asarray(Ax), R_L, dtype, scale)
+    pivs = []
+    for lo in range(0, nruns, CHUNK_RUNS):
+        hi = min(nruns, lo + CHUNK_RUNS)
+        Lx, mp = _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi)
+        pivs.append(mp)
+    minpiv = jnp.concatenate(pivs) if pivs else jnp.zeros((0,), dtype=dtype)
+    return Lx, minpiv, d
+
+
 def factorize(
     plan: FactorizePlan,
     Ax,
@@ -521,9 +582,14 @@ def factorize(
     if arrays is None:
         arrays = device_arrays(plan)
     dtype = jnp.dtype(plan.dtype)
-    Lx, minpiv, d = _factorize_jit(
-        arrays, jnp.asarray(Ax), plan.R_L, dtype, backend, scale
-    )
+    if len(arrays["meta"].value) > CHUNK_RUNS:
+        Lx, minpiv, d = _factorize_chunked(
+            arrays, Ax, plan.R_L, dtype, backend, scale
+        )
+    else:
+        Lx, minpiv, d = _factorize_jit(
+            arrays, jnp.asarray(Ax), plan.R_L, dtype, backend, scale
+        )
     if check:
         mp = np.asarray(minpiv)
         if mp.size and not (mp > 0).all():
@@ -573,7 +639,19 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("R_L", "dtype"))
-def diag_inverses(arrays, Lx, R_L, dtype):
+@functools.partial(
+    jax.jit, static_argnames=("R_L", "dtype", "lo", "hi")
+)
+def _diag_inverses_chunk(arrays, Lx, R_L, dtype, lo, hi):
     with jax.default_matmul_precision("highest"):
-        return _diag_inverses_impl(arrays, Lx, R_L=R_L, dtype=dtype)
+        sub = {**arrays, "meta": _Static(arrays["meta"].value[lo:hi])}
+        return _diag_inverses_impl(sub, Lx, R_L=R_L, dtype=dtype)
+
+
+def diag_inverses(arrays, Lx, R_L, dtype):
+    nruns = len(arrays["meta"].value)
+    out = []
+    for lo in range(0, nruns, CHUNK_RUNS):
+        hi = min(nruns, lo + CHUNK_RUNS)
+        out.extend(_diag_inverses_chunk(arrays, Lx, R_L, dtype, lo, hi))
+    return out

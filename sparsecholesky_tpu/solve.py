@@ -128,17 +128,137 @@ def _solve_jit(arrays, Lx, rhs, d, linv, n, R_L, dtype):
                            linv=linv)
 
 
+# ---------------------------------------------------------------------------
+# Chunked solve for very large plans (see numeric.CHUNK_RUNS): the forward
+# and backward sweeps compile as several smaller executables.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "R_L", "dtype", "lo", "hi", "forward", "first"),
+)
+def _sweep_chunk(arrays, Lx, vec, d, linv, n, R_L, dtype, lo, hi, forward,
+                 first):
+    from .numeric import _Static
+
+    sub = {**arrays, "meta": _Static(arrays["meta"].value[lo:hi])}
+    with jax.default_matmul_precision("highest"):
+        return _sweep_impl(sub, Lx, vec, d, n=n, R_L=R_L, dtype=dtype,
+                           linv=linv, forward=forward, first=first)
+
+
+def _sweep_impl(arrays, Lx, vec, d, *, n, R_L, dtype, linv, forward, first):
+    """One direction of the solve over the runs in ``arrays`` only."""
+    runs = [(k, rb) for k, rb, _u in iter_runs(arrays)]
+    lv = linv if linv is not None else [None] * len(runs)
+    fstep, bstep = _make_steps(arrays, Lx, n, R_L, dtype)
+    if first and forward:
+        vec = vec.astype(dtype)
+        squeeze = vec.ndim == 1
+        if squeeze:
+            vec = vec[:, None]
+        vec = vec[arrays["perm"]] * d[:, None]
+    if forward:
+        for (kind, rb), Dinv in zip(runs, lv):
+            if kind == "single":
+                vec = fstep(vec, rb, Dinv)
+            else:
+                xs = (rb, Dinv) if Dinv is not None else (rb,)
+                vec = jax.lax.scan(
+                    lambda c, x: (fstep(c, x[0], x[1] if len(x) > 1 else None), 0),
+                    vec, xs,
+                )[0]
+    else:
+        for (kind, rb), Dinv in zip(reversed(runs), list(reversed(lv))):
+            if kind == "single":
+                vec = bstep(vec, rb, Dinv)
+            else:
+                xs = (rb, Dinv) if Dinv is not None else (rb,)
+                vec = jax.lax.scan(
+                    lambda c, t: (bstep(c, t[0], t[1] if len(t) > 1 else None), 0),
+                    vec, xs, reverse=True,
+                )[0]
+    return vec
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _finish_solve(arrays, x, d, dtype):
+    x = x * d[:, None]
+    return x[arrays["iperm"]]
+
+
+def _make_steps(arrays, Lx, n, R_L, dtype):
+    def _lsolve(D, t, transpose, inverted):
+        if inverted:
+            eq = "bji,bjk->bik" if transpose else "bij,bjk->bik"
+            return jnp.einsum(eq, D, t, preferred_element_type=dtype)
+        return jax.lax.linalg.triangular_solve(
+            D, t, left_side=True, lower=True, transpose_a=transpose
+        )
+
+    def fstep(y, b, Dinv):
+        w_pad = b.w_pad
+        P = gather_panels(Lx, b, R_L)
+        D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
+        cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
+        ycols = jnp.take(y, cidx, axis=0, mode="fill", fill_value=0)
+        z = _lsolve(D, ycols, transpose=False, inverted=Dinv is not None)
+        y = y.at[cidx].set(z, mode="drop")
+        if b.mb_pad:
+            L21 = P[:, w_pad:, :]
+            u = jnp.einsum("bij,bjk->bik", L21, z,
+                           preferred_element_type=dtype)
+            bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
+            y = y.at[bidx].add(-u, mode="drop")
+        return y
+
+    def bstep(x, b, Dinv):
+        w_pad = b.w_pad
+        P = gather_panels(Lx, b, R_L)
+        D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
+        cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
+        t = jnp.take(x, cidx, axis=0, mode="fill", fill_value=0)
+        if b.mb_pad:
+            L21 = P[:, w_pad:, :]
+            bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
+            xb = jnp.take(x, bidx, axis=0, mode="fill", fill_value=0)
+            t = t - jnp.einsum("bij,bik->bjk", L21, xb,
+                               preferred_element_type=dtype)
+        z = _lsolve(D, t, transpose=True, inverted=Dinv is not None)
+        return x.at[cidx].set(z, mode="drop")
+
+    return fstep, bstep
+
+
 def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None, linv=None):
     """Solve A x = rhs given the factor block-store Lx (from factorize).
 
     Pass ``linv`` (numeric.diag_inverses) for the loop-free MXU fast path.
     """
-    from .numeric import device_arrays
+    from .numeric import CHUNK_RUNS, device_arrays
 
     if arrays is None:
         arrays = device_arrays(plan)
     dtype = jnp.dtype(plan.dtype)
     if d is None:
         d = jnp.ones((plan.n,), dtype=dtype)
-    return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, linv, plan.n,
-                      plan.R_L, dtype)
+    nruns = len(arrays["meta"].value)
+    if nruns <= CHUNK_RUNS:
+        return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, linv, plan.n,
+                          plan.R_L, dtype)
+    rhs = jnp.asarray(rhs)
+    squeeze = rhs.ndim == 1
+    vec = rhs
+    lv = linv if linv is not None else [None] * nruns
+    first = True
+    for lo in range(0, nruns, CHUNK_RUNS):
+        hi = min(nruns, lo + CHUNK_RUNS)
+        vec = _sweep_chunk(arrays, Lx, vec, d, lv[lo:hi], plan.n, plan.R_L,
+                           dtype, lo, hi, True, first)
+        first = False
+    for hi in range(nruns, 0, -CHUNK_RUNS):
+        lo = max(0, hi - CHUNK_RUNS)
+        vec = _sweep_chunk(arrays, Lx, vec, d, lv[lo:hi], plan.n, plan.R_L,
+                           dtype, lo, hi, False, False)
+    x = _finish_solve(arrays, vec, d, dtype)
+    return x[:, 0] if squeeze else x

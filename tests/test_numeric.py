@@ -146,3 +146,34 @@ def test_multi_rhs_solve(bcsstk01):
     for k in range(5):
         r = np.linalg.norm(Asp @ X[:, k] - B[:, k]) / np.linalg.norm(B[:, k])
         assert r < 1e-4, r
+
+
+def test_chunked_execution_matches(monkeypatch):
+    """Large plans compile as several chunked executables; results must be
+    identical to the single-program path."""
+    from sparsecholesky_tpu.plan import compile_plan
+    from sparsecholesky_tpu import numeric, solve as _solve
+    from sparsecholesky_tpu.models import generators
+
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson2d(24)
+    plan = compile_plan(A, perm=nd_grid((24, 24)), dtype=np.float64)
+    arrays = numeric.device_arrays(plan)
+    assert len(arrays["meta"].value) > 3
+    Lx_ref, d = numeric.factorize(plan, A.data, arrays=arrays, scale=True)
+    b = np.linspace(1, 2, plan.n)
+    x_ref = np.asarray(_solve.solve(plan, Lx_ref, b, d=d, arrays=arrays))
+    r0 = np.linalg.norm(A.to_scipy() @ x_ref - b) / np.linalg.norm(b)
+    assert r0 < 1e-10
+
+    monkeypatch.setattr(numeric, "CHUNK_RUNS", 3)
+    Lx_c, d_c = numeric.factorize(plan, A.data, arrays=arrays, scale=True)
+    np.testing.assert_array_equal(np.asarray(Lx_c), np.asarray(Lx_ref))
+    x_c = np.asarray(_solve.solve(plan, Lx_c, b, d=d_c, arrays=arrays))
+    np.testing.assert_allclose(x_c, x_ref, rtol=1e-12)
+    linv = numeric.diag_inverses(arrays, Lx_c, plan.R_L, np.dtype(np.float64))
+    x_l = np.asarray(_solve.solve(plan, Lx_c, b, d=d_c, arrays=arrays,
+                                  linv=linv))
+    r = np.linalg.norm(A.to_scipy() @ x_l - b) / np.linalg.norm(b)
+    assert r < 1e-6
