@@ -277,6 +277,8 @@ def compile_plan(
     """
     if A.sym != "upper":
         raise SymbolicError("compile_plan expects canonical upper CSC")
+    if A.n == 0:
+        raise SymbolicError("cannot factorize an empty (0 x 0) matrix")
     n = A.n
     if perm is None:
         perm = np.arange(n, dtype=np.int64)

@@ -80,3 +80,22 @@ def test_refactorize_keeps_scaling_and_matrix(bus1138):
     x = F2.solve(b, refine="auto")  # refinement must use the UPDATED matrix
     be = _backward_error(2.0 * bus1138.to_scipy(), x, b)
     assert be < 1e-14
+
+
+def test_one_by_one_and_diagonal():
+    A1 = sc.triplet_to_csc([0], [0], [4.0], 1)
+    F = chol(A1)
+    np.testing.assert_allclose(F.solve(np.array([8.0])), [2.0])
+    np.testing.assert_allclose(F.L().to_dense(), [[2.0]])
+    A2 = sc.triplet_to_csc([0, 1, 2], [0, 1, 2], [1.0, 4.0, 9.0], 3)
+    np.testing.assert_allclose(
+        chol(A2).solve(np.ones(3)), [1.0, 0.25, 1.0 / 9.0]
+    )
+
+
+def test_empty_matrix_rejected():
+    from sparsecholesky_tpu.errors import SymbolicError
+
+    A0 = sc.triplet_to_csc([], [], [], 0)
+    with pytest.raises(SymbolicError):
+        chol(A0)
