@@ -550,14 +550,44 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi):
     return Lx, minpiv_flat
 
 
+# Memoized adaptive chunk boundaries per plan: a chunk whose compiled
+# program is too large for the TPU compiler (it reports an opaque internal
+# error) is split in half recursively; the discovered safe boundaries are
+# cached so refactorizations never re-attempt a failing compile.
+_CHUNK_PLANS: dict = {}
+
+
+def _chunk_boundaries(meta) -> list:
+    key = meta
+    plan = _CHUNK_PLANS.get(key)
+    if plan is None:
+        nruns = len(meta)
+        plan = []
+        for lo in range(0, nruns, CHUNK_RUNS):
+            plan.append((lo, min(nruns, lo + CHUNK_RUNS)))
+        _CHUNK_PLANS[key] = plan
+    return plan
+
+
 def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale):
-    nruns = len(arrays["meta"].value)
+    meta = arrays["meta"].value
     Lx, d = _init_jit(arrays, jnp.asarray(Ax), R_L, dtype, scale)
     pivs = []
-    for lo in range(0, nruns, CHUNK_RUNS):
-        hi = min(nruns, lo + CHUNK_RUNS)
-        Lx, mp = _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi)
+    plan = _chunk_boundaries(meta)
+    i = 0
+    while i < len(plan):
+        lo, hi = plan[i]
+        try:
+            Lx, mp = _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi)
+        except Exception:
+            if hi - lo <= 1:
+                raise
+            # compiler rejected this chunk as one program: split and retry
+            mid = (lo + hi) // 2
+            plan[i : i + 1] = [(lo, mid), (mid, hi)]
+            continue
         pivs.append(mp)
+        i += 1
     minpiv = jnp.concatenate(pivs) if pivs else jnp.zeros((0,), dtype=dtype)
     return Lx, minpiv, d
 

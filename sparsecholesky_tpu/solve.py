@@ -246,19 +246,41 @@ def solve(plan: FactorizePlan, Lx, rhs, *, d=None, arrays=None, linv=None):
     if nruns <= CHUNK_RUNS:
         return _solve_jit(arrays, Lx, jnp.asarray(rhs), d, linv, plan.n,
                           plan.R_L, dtype)
+    from .numeric import _chunk_boundaries
+
     rhs = jnp.asarray(rhs)
     squeeze = rhs.ndim == 1
     vec = rhs
     lv = linv if linv is not None else [None] * nruns
+    bounds = list(_chunk_boundaries(arrays["meta"].value))
     first = True
-    for lo in range(0, nruns, CHUNK_RUNS):
-        hi = min(nruns, lo + CHUNK_RUNS)
-        vec = _sweep_chunk(arrays, Lx, vec, d, lv[lo:hi], plan.n, plan.R_L,
-                           dtype, lo, hi, True, first)
+    i = 0
+    while i < len(bounds):
+        lo, hi = bounds[i]
+        try:
+            vec = _sweep_chunk(arrays, Lx, vec, d, lv[lo:hi], plan.n,
+                               plan.R_L, dtype, lo, hi, True, first)
+        except Exception:
+            if hi - lo <= 1:
+                raise
+            mid = (lo + hi) // 2
+            bounds[i : i + 1] = [(lo, mid), (mid, hi)]
+            continue
         first = False
-    for hi in range(nruns, 0, -CHUNK_RUNS):
-        lo = max(0, hi - CHUNK_RUNS)
-        vec = _sweep_chunk(arrays, Lx, vec, d, lv[lo:hi], plan.n, plan.R_L,
-                           dtype, lo, hi, False, False)
+        i += 1
+    i = len(bounds) - 1
+    while i >= 0:
+        lo, hi = bounds[i]
+        try:
+            vec = _sweep_chunk(arrays, Lx, vec, d, lv[lo:hi], plan.n,
+                               plan.R_L, dtype, lo, hi, False, False)
+        except Exception:
+            if hi - lo <= 1:
+                raise
+            mid = (lo + hi) // 2
+            bounds[i : i + 1] = [(lo, mid), (mid, hi)]
+            i += 1
+            continue
+        i -= 1
     x = _finish_solve(arrays, vec, d, dtype)
     return x[:, 0] if squeeze else x
