@@ -151,6 +151,7 @@ def chol(
     backend: str = "xla",
     dtype=None,
     scale: bool = False,
+    precision: str = "highest",
     analyze_kwargs: dict | None = None,
 ) -> CholeskyFactor:
     """Full sparse Cholesky pipeline: ordering -> symbolic -> plan -> numeric.
@@ -163,7 +164,8 @@ def chol(
     plan = compile_plan(A, perm=perm, dtype=dtype, analyze_kwargs=analyze_kwargs)
     arrays = _numeric.device_arrays(plan)
     Lx, d = _numeric.factorize(
-        plan, A.data, arrays=arrays, backend=backend, scale=scale
+        plan, A.data, arrays=arrays, backend=backend, scale=scale,
+        precision=precision,
     )
     return CholeskyFactor(
         plan, arrays, Lx, d, A=A, backend=backend, scaled=scale

@@ -488,14 +488,18 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("R_L", "dtype", "backend", "scale")
+    jax.jit,
+    static_argnames=("R_L", "dtype", "backend", "scale", "precision"),
 )
-def _factorize_jit(arrays, Ax, R_L, dtype, backend, scale):
+def _factorize_jit(arrays, Ax, R_L, dtype, backend, scale,
+                   precision="highest"):
     # TPU matmuls default to bfloat16 passes; the SYRK / dense-cholesky /
-    # triangular-solve chain needs true fp32 accumulation or equilibrated
-    # fp32 factorizations lose ~3 decimal digits and ill-conditioned
-    # matrices go non-PD.
-    with jax.default_matmul_precision("highest"):
+    # triangular-solve chain needs true fp32 accumulation ("highest",
+    # 6 bf16 passes) or equilibrated fp32 factorizations lose ~3 decimal
+    # digits and ill-conditioned matrices go non-PD.  "high" (3 passes)
+    # trades ~3 digits of factor accuracy for up to 2x matmul throughput —
+    # viable for well-conditioned systems solved with iterative refinement.
+    with jax.default_matmul_precision(precision):
         return _factorize_impl(
             arrays, Ax, R_L=R_L, dtype=dtype, backend=backend, scale=scale
         )
@@ -518,10 +522,12 @@ def _init_jit(arrays, Ax, R_L, dtype, scale):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("R_L", "dtype", "backend", "lo", "hi"),
+    jax.jit,
+    static_argnames=("R_L", "dtype", "backend", "lo", "hi", "precision"),
     donate_argnums=(1,),
 )
-def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi):
+def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
+               precision="highest"):
     def step(Lx, b, utile_g):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L)
@@ -533,7 +539,7 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi):
         return Lx, minpiv
 
     minpivs = []
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         for rmeta in arrays["meta"].value[lo:hi]:
             kind, rb, utile_g = unpack_run(arrays["flat"], rmeta)
             if kind == "single":
@@ -569,7 +575,8 @@ def _chunk_boundaries(meta) -> list:
     return plan
 
 
-def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale):
+def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale,
+                       precision="highest"):
     meta = arrays["meta"].value
     Lx, d = _init_jit(arrays, jnp.asarray(Ax), R_L, dtype, scale)
     pivs = []
@@ -578,7 +585,8 @@ def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale):
     while i < len(plan):
         lo, hi = plan[i]
         try:
-            Lx, mp = _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi)
+            Lx, mp = _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
+                                precision)
         except Exception:
             if hi - lo <= 1:
                 raise
@@ -600,6 +608,7 @@ def factorize(
     backend: str = "xla",
     scale: bool = False,
     check: bool = True,
+    precision: str = "highest",
 ):
     """Numeric factorization of the matrix whose values are Ax (on the
     pattern/permutation the plan was compiled for).
@@ -614,11 +623,12 @@ def factorize(
     dtype = jnp.dtype(plan.dtype)
     if len(arrays["meta"].value) > CHUNK_RUNS:
         Lx, minpiv, d = _factorize_chunked(
-            arrays, Ax, plan.R_L, dtype, backend, scale
+            arrays, Ax, plan.R_L, dtype, backend, scale, precision
         )
     else:
         Lx, minpiv, d = _factorize_jit(
-            arrays, jnp.asarray(Ax), plan.R_L, dtype, backend, scale
+            arrays, jnp.asarray(Ax), plan.R_L, dtype, backend, scale,
+            precision,
         )
     if check:
         mp = np.asarray(minpiv)
