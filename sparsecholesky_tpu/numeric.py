@@ -164,6 +164,11 @@ def build_runs(plan: FactorizePlan):
             max(b.utile_g[t] for b in group)
             for t in range(len(group[0].utile_g))
         ) if group[0].utile_g else ()
+        # exact (row0?, w, mb) for singletons: enables the in-store dense
+        # path for very wide supernodes (static shapes, no gather copies)
+        wm = None
+        if kind == "single" and len(group[0].sn_ids) == 1:
+            wm = (int(group[0].w[0]), int(group[0].mb[0]))
         spec = {}
         for f in _FIELDS:
             vals = [_np_fields(b)[f] for b in group]
@@ -174,7 +179,7 @@ def build_runs(plan: FactorizePlan):
             chunks[f].append(np.ascontiguousarray(arr, dtype=np.int32).ravel())
             spec[f] = (offs[f], arr.shape)
             offs[f] += arr.size
-        meta.append((kind, tuple(sorted(spec.items())), utile_g))
+        meta.append((kind, tuple(sorted(spec.items())), utile_g, wm))
         i = j
     flat = {
         f: jnp.asarray(
@@ -187,8 +192,8 @@ def build_runs(plan: FactorizePlan):
 
 def unpack_run(flat, rmeta):
     """Rebuild one run's _BucketArrays from the flat buffers via static
-    slices (free at compile time).  Returns (kind, bucket, utile_g)."""
-    kind, spec, utile_g = rmeta
+    slices (free at compile time).  Returns (kind, bucket, utile_g, wm)."""
+    kind, spec, utile_g, wm = rmeta
     fields = {}
     for f, fs in spec:
         if fs is None:
@@ -197,7 +202,7 @@ def unpack_run(flat, rmeta):
             off, shape = fs
             size = int(np.prod(shape))
             fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
-    return kind, _BucketArrays(**fields), utile_g
+    return kind, _BucketArrays(**fields), utile_g, wm
 
 
 def device_arrays(plan: FactorizePlan):
@@ -353,6 +358,74 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
 
 
 # ---------------------------------------------------------------------------
+# In-store blocked dense factorization for very wide supernodes
+# (separators / dense tails).  The block is one contiguous run of store
+# rows, so it is processed with static exact-size dynamic slices — no
+# gather/scatter copies, transients bounded by one column panel — which is
+# what lets 10k+-wide separators factor within HBM.
+
+#: supernodes at least this wide (in lanes) use the in-store dense path
+DENSE_INSTORE = 4096
+#: column panel width of the blocked in-store factorization
+DENSE_KB = 2048
+
+
+def _dense_instore_step(Lx, b: _BucketArrays, R_L: int, dtype, utile_g,
+                        wm):
+    w, mb = wm
+    m = w + mb
+    nseg = -(-w // LANE)
+    wfull = nseg * LANE
+    r0 = b.row0[0]
+    M = jax.lax.dynamic_slice(
+        Lx, (r0, jnp.int32(0)), (m * nseg, LANE)
+    ).reshape(m, wfull)
+
+    minpiv = jnp.asarray(jnp.inf, dtype)
+    for k in range(0, w, DENSE_KB):
+        kb = min(DENSE_KB, w - k)
+        D = M[k : k + kb, k : k + kb]
+        D = jnp.tril(D) + jnp.swapaxes(jnp.tril(D, -1), 0, 1)
+        L11 = jnp.linalg.cholesky(D)
+        diag = jnp.diagonal(L11)
+        minpiv = jnp.minimum(
+            minpiv, jnp.min(jnp.where(jnp.isnan(diag), -jnp.inf, diag))
+        )
+        L11 = jnp.where(jnp.isnan(L11), 0.0, L11)
+        M = M.at[k : k + kb, k : k + kb].set(L11)
+        if k + kb < m:
+            rest = M[k + kb :, k : k + kb]
+            L21 = jax.lax.linalg.triangular_solve(
+                L11, rest, left_side=False, lower=True, transpose_a=True
+            )
+            M = M.at[k + kb :, k : k + kb].set(L21)
+            if k + kb < w:
+                Ct = jnp.einsum(
+                    "ik,jk->ij", L21, L21[: w - k - kb],
+                    preferred_element_type=dtype,
+                )
+                M = M.at[k + kb :, k + kb : w].add(-Ct)
+
+    Lx = jax.lax.dynamic_update_slice(
+        Lx, M.reshape(m * nseg, LANE), (r0, jnp.int32(0))
+    )
+    if mb:
+        L21x = M[w:, :]
+        mb_pad = b.mb_pad
+        if mb_pad > mb:
+            L21x = jnp.pad(L21x, ((0, mb_pad - mb), (0, 0)))
+        # apply_schur_update expects [B, mb_pad, w_pad] with the bucket's
+        # padded width; pad/trim lanes accordingly
+        w_pad = b.w_pad
+        if wfull < w_pad:
+            L21x = jnp.pad(L21x, ((0, 0), (0, w_pad - wfull)))
+        elif wfull > w_pad:
+            L21x = L21x[:, :w_pad]
+        Lx = apply_schur_update(Lx, b, L21x[None], R_L, dtype, utile_g)
+    return Lx, minpiv[None]
+
+
+# ---------------------------------------------------------------------------
 # Panel factorization backends
 
 
@@ -472,8 +545,11 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
         return Lx, minpiv
 
     minpivs = []
-    for kind, rb, utile_g in iter_runs(arrays):
-        if kind == "single":
+    for kind, rb, utile_g, wm in iter_runs(arrays):
+        if kind == "single" and wm is not None and rb.w_pad >= DENSE_INSTORE:
+            Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm)
+            minpivs.append(mp)
+        elif kind == "single":
             Lx, mp = step(Lx, rb, utile_g)
             minpivs.append(mp)
         else:
@@ -541,8 +617,12 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
     minpivs = []
     with jax.default_matmul_precision(precision):
         for rmeta in arrays["meta"].value[lo:hi]:
-            kind, rb, utile_g = unpack_run(arrays["flat"], rmeta)
-            if kind == "single":
+            kind, rb, utile_g, wm = unpack_run(arrays["flat"], rmeta)
+            if (kind == "single" and wm is not None
+                    and rb.w_pad >= DENSE_INSTORE):
+                Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm)
+                minpivs.append(mp)
+            elif kind == "single":
                 Lx, mp = step(Lx, rb, utile_g)
                 minpivs.append(mp)
             else:
@@ -671,7 +751,7 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
         )
 
     out = []
-    for kind, rb, _ug in iter_runs(arrays):
+    for kind, rb, _ug, _wm in iter_runs(arrays):
         if kind == "single":
             out.append(one(rb))
         else:

@@ -177,3 +177,47 @@ def test_chunked_execution_matches(monkeypatch):
                                   linv=linv))
     r = np.linalg.norm(A.to_scipy() @ x_l - b) / np.linalg.norm(b)
     assert r < 1e-6
+
+
+def test_dense_instore_path(monkeypatch):
+    """Very wide supernodes factor blocked in-store; force the path by
+    lowering the threshold and compare against the normal path."""
+    from sparsecholesky_tpu.plan import compile_plan
+    from sparsecholesky_tpu import numeric
+    from sparsecholesky_tpu.models import generators
+
+    # dense 300x300: one 300-wide supernode (segmented, nseg=3) plus a
+    # bordered sparse part so the wide supernode also has below rows
+    A = generators.random_sparse(300, 1.0, seed=4)
+    plan = compile_plan(A, dtype=np.float64)
+    arrays = numeric.device_arrays(plan)
+    Lx_ref, _ = numeric.factorize(plan, A.data, arrays=arrays)
+    L_ref = plan.extract_csc(np.asarray(Lx_ref)).to_dense()
+
+    monkeypatch.setattr(numeric, "DENSE_INSTORE", 256)
+    monkeypatch.setattr(numeric, "DENSE_KB", 128)
+    arrays2 = numeric.device_arrays(plan)
+    Lx_d, _ = numeric.factorize(plan, A.data, arrays=arrays2)
+    L_d = plan.extract_csc(np.asarray(Lx_d)).to_dense()
+    np.testing.assert_allclose(L_d, L_ref, atol=1e-8)
+    Ld = np.linalg.cholesky(A.to_dense())
+    np.testing.assert_allclose(np.tril(L_d), Ld, atol=1e-8)
+
+
+def test_dense_instore_with_below_rows(monkeypatch):
+    from sparsecholesky_tpu.plan import compile_plan
+    from sparsecholesky_tpu import numeric
+    from sparsecholesky_tpu.models import generators
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    # ND-ordered 2D Poisson has a wide-ish final separator with updates
+    A = generators.poisson2d(20)
+    plan = compile_plan(A, perm=nd_grid((20, 20)), dtype=np.float64)
+    monkeypatch.setattr(numeric, "DENSE_INSTORE", 128)
+    monkeypatch.setattr(numeric, "DENSE_KB", 64)
+    arrays = numeric.device_arrays(plan)
+    Lx, _ = numeric.factorize(plan, A.data, arrays=arrays)
+    L = plan.extract_csc(np.asarray(Lx)).to_scipy()
+    Ap = A.to_scipy().toarray()[np.ix_(plan.perm, plan.perm)]
+    res = np.linalg.norm((L @ L.T).toarray() - Ap) / np.linalg.norm(Ap)
+    assert res < 1e-12
