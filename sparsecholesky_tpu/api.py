@@ -49,10 +49,22 @@ class CholeskyFactor:
         if self._linv is None:
             import jax.numpy as jnp
 
-            self._linv = _numeric.diag_inverses(
-                self.arrays, self.Lx, self.plan.R_L, jnp.dtype(self.plan.dtype)
+            dt = jnp.dtype(self.plan.dtype)
+            # explicit per-supernode inverse blocks cost B*w_pad^2 each;
+            # past ~1 GiB total (1M-row plans) the HBM is better spent on
+            # the factor itself — fall back to in-solve triangular solves
+            est = sum(
+                b.batch * b.w_pad * b.w_pad * dt.itemsize
+                for lev in self.plan.levels
+                for b in lev
             )
-        return self._linv
+            if est > 1 << 30:
+                self._linv = False
+            else:
+                self._linv = _numeric.diag_inverses(
+                    self.arrays, self.Lx, self.plan.R_L, dt
+                )
+        return self._linv or None
 
     def solve(self, rhs, *, refine: int = 0) -> np.ndarray:
         """Solve A x = rhs (rhs in original index order).

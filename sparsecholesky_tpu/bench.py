@@ -75,23 +75,40 @@ def run_bench(
     import jax.numpy as jnp
 
     Ax = jnp.asarray(A.data)
+    # Big stores (GiB-class at ~1M rows) cannot hold several pipelined
+    # factorizations in HBM at once: drop the initial factor, run strictly
+    # one at a time, and reinstate the (identical) factor afterwards.
+    big = F.plan.store_bytes() > 1_500_000_000
+    if big:
+        F.Lx = None
+        F._linv = None
+    Lx = None
     _numeric.factorize(F.plan, Ax, arrays=F.arrays, scale=scale,
                        check=False)  # warm
-    K = max(repeats, 8)
+    K = 3 if big else max(repeats, 8)
     t0 = time.time()
     for _ in range(K):
+        if big and Lx is not None:
+            Lx.block_until_ready()
+            del Lx  # free the previous store before dispatching the next
         Lx, _d = _numeric.factorize(
             F.plan, Ax, arrays=F.arrays, scale=scale, check=False
         )
     Lx.block_until_ready()
     best = (time.time() - t0) / K
+    if big:
+        F.Lx = Lx
+        F.d = _d
     # single-dispatch latency (includes link round trip), for context
-    t0 = time.time()
-    Lx, _d = _numeric.factorize(
-        F.plan, Ax, arrays=F.arrays, scale=scale, check=False
-    )
-    Lx.block_until_ready()
-    single = time.time() - t0
+    if big:
+        single = best  # the loop above was already fully synchronous
+    else:
+        t0 = time.time()
+        Lx, _d = _numeric.factorize(
+            F.plan, Ax, arrays=F.arrays, scale=scale, check=False
+        )
+        Lx.block_until_ready()
+        single = time.time() - t0
 
     flops = F.plan.true_flops()
     nnzL = F.plan.nnz_L()

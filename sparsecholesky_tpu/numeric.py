@@ -181,12 +181,16 @@ def build_runs(plan: FactorizePlan):
             offs[f] += arr.size
         meta.append((kind, tuple(sorted(spec.items())), utile_g, wm))
         i = j
-    flat = {
-        f: jnp.asarray(
-            np.concatenate(chunks[f]) if chunks[f] else np.zeros(0, np.int32)
-        )
-        for f in _FIELDS
-    }
+    flat = {}
+    for f in _FIELDS:
+        arr = np.concatenate(chunks[f]) if chunks[f] else np.zeros(0, np.int32)
+        if f == "up" and arr.size and 0 <= arr.min() and arr.max() < 65536:
+            # `up` dominates plan memory (O(mb_pad * G_pad) per supernode;
+            # ~GiBs at 1M rows).  Values are block-row positions within an
+            # owner supernode, so uint16 holds them for any plan whose
+            # widest block is under 64K rows; consumers upcast per-tile.
+            arr = arr.astype(np.uint16)
+        flat[f] = jnp.asarray(arr)
     return flat, tuple(meta)
 
 
@@ -301,6 +305,9 @@ def scatter_panels(Lx, b: _BucketArrays, L, R_L: int):
 # scatter-add are chunked over below rows to bound transient memory and to
 # exploit the static per-tile owner bound (plan.Bucket.utile_g).
 UPDATE_TILE = 512
+# Cap on the extend-add einsum transient per chunk (bytes); batches larger
+# than this split (see apply_schur_update).
+_C_CAP = 192 * 2**20
 
 
 def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
@@ -333,27 +340,37 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
     ntiles = -(-mb_pad // UPDATE_TILE)
     if not utile_g:
         utile_g = (G_pad,) * ntiles
+    itemsize = jnp.dtype(dtype).itemsize
     for ti in range(ntiles):
         i0 = ti * UPDATE_TILE
         i1 = min(mb_pad, i0 + UPDATE_TILE)
         gt = min(int(utile_g[ti]), G_pad)
-        C = jnp.einsum(
-            "bik,bgck->bgic", L21[:, i0:i1], V[:, :gt],
-            preferred_element_type=dtype,
-        )                                           # [B, gt, t, LANE]
-        pos = jnp.swapaxes(b.up[:, i0:i1, :gt], 1, 2)  # [B, gt, t]
-        rows = b.urow0[:, :gt, None] + pos * b.ustride[:, :gt, None]
-        ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, i1 - i0), 2)
-        gg = jax.lax.broadcasted_iota(jnp.int32, (1, gt, 1), 1)
-        valid = (
-            (ii >= b.uj0[:, :gt, None])
-            & (ii < b.mb[:, None, None])
-            & (gg < b.uG[:, None, None])
-        )
-        rows = jnp.where(valid, rows, jnp.int32(R_L))
-        Lx = Lx.at[rows.reshape(-1)].add(
-            -C.reshape(-1, LANE), mode="drop"
-        )
+        # bound the einsum transient C [bs, gt, t, LANE] by chunking the
+        # batch: large-B buckets of big plans would otherwise peak >1 GiB
+        # per step (an OOM at 1M rows on a 16 GiB chip)
+        per_b = gt * (i1 - i0) * LANE * itemsize
+        bchunk = max(1, min(B, _C_CAP // max(per_b, 1)))
+        for b0 in range(0, B, bchunk):
+            b1 = min(B, b0 + bchunk)
+            C = jnp.einsum(
+                "bik,bgck->bgic", L21[b0:b1, i0:i1], V[b0:b1, :gt],
+                preferred_element_type=dtype,
+            )                                           # [bs, gt, t, LANE]
+            pos = jnp.swapaxes(b.up[b0:b1, i0:i1, :gt], 1, 2).astype(
+                jnp.int32
+            )                                           # [bs, gt, t]
+            rows = b.urow0[b0:b1, :gt, None] + pos * b.ustride[b0:b1, :gt, None]
+            ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, i1 - i0), 2)
+            gg = jax.lax.broadcasted_iota(jnp.int32, (1, gt, 1), 1)
+            valid = (
+                (ii >= b.uj0[b0:b1, :gt, None])
+                & (ii < b.mb[b0:b1, None, None])
+                & (gg < b.uG[b0:b1, None, None])
+            )
+            rows = jnp.where(valid, rows, jnp.int32(R_L))
+            Lx = Lx.at[rows.reshape(-1)].add(
+                -C.reshape(-1, LANE), mode="drop"
+            )
     return Lx
 
 
