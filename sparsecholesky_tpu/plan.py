@@ -70,11 +70,29 @@ from .symbolic import SymbolicFactor, analyze
 LANE = 128
 
 # Padding tiers. Second-to-last dim of a f32 tile is 8; lane dim 128.
-_W_TIERS = (8, 16, 32, 64, 128)
+# Profiles trade padding waste (issued flops) against step-shape diversity
+# (executed op count / dispatch overhead): "fine" minimizes padded flops,
+# "coarse" minimizes distinct shapes.  Select per-plan via compile_plan's
+# pad_profile or the SPARSECHOL_PAD env var.
+_PAD_PROFILES = {
+    "fine": (
+        (8, 16, 32, 64, 128),
+        (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024),
+        512,
+    ),
+    "coarse": ((8, 32, 128), (32, 128, 512, 1024), 1024),
+}
 
 
-def _pad_w(w: int) -> int:
-    for t in _W_TIERS:
+def _profile(name: str | None):
+    import os
+
+    name = name or os.environ.get("SPARSECHOL_PAD", "fine")
+    return _PAD_PROFILES[name]
+
+
+def _pad_w(w: int, tiers=_PAD_PROFILES["fine"][0]) -> int:
+    for t in tiers:
         if w <= t:
             return t
     # wide (segmented) supernodes: multiples of LANE, coarser when huge —
@@ -85,14 +103,13 @@ def _pad_w(w: int) -> int:
     return -(-w // 512) * 512
 
 
-def _pad_mb(mb: int) -> int:
+def _pad_mb(mb: int, tiers=_PAD_PROFILES["fine"][1], coarse: int = 512) -> int:
     if mb == 0:
         return 0
-    tiers = (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
     for t in tiers:
         if mb <= t:
             return t
-    return -(-mb // 512) * 512
+    return -(-mb // coarse) * coarse
 
 
 # Tile edge for the extend-add i-dimension; must match numeric.UPDATE_TILE.
@@ -268,6 +285,7 @@ def compile_plan(
     perm: np.ndarray | None = None,
     dtype=None,
     analyze_kwargs: dict | None = None,
+    pad_profile: str | None = None,
 ) -> FactorizePlan:
     """Compile the static factorization plan for A (optionally permuted).
 
@@ -357,6 +375,7 @@ def compile_plan(
         raise SymbolicError("matrix has structurally missing diagonal entries")
 
     # ---- per-level buckets ---------------------------------------------
+    wt, mbt, mbc = _profile(pad_profile)
     levels_out: list[list[Bucket]] = []
     for lev in S.levels:
         groups: dict[tuple[int, int], list[int]] = {}
@@ -364,7 +383,7 @@ def compile_plan(
             s = int(s)
             w = int(block_w[s])
             mb = int(block_m[s]) - w
-            key = (_pad_w(w), _pad_mb(mb))
+            key = (_pad_w(w, wt), _pad_mb(mb, mbt, mbc))
             groups.setdefault(key, []).append(s)
         buckets = []
         for (w_pad, mb_pad), sns in sorted(groups.items()):
