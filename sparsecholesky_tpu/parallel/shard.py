@@ -3,26 +3,35 @@
 The reference's only parallelism is an OpenMP wavefront within one process
 (/root/reference/include/chol.hpp:1424, SURVEY.md §2c); there is no
 distributed backend.  This module is the TPU-native scaling story
-(BASELINE.json north star): elimination-wavefront parallelism *across
-chips* via shard_map over a 1D mesh.
+(BASELINE.json north star): elimination-tree parallelism *across chips*
+via shard_map over a 1D mesh.  Two strategies:
 
-Design (round 1 — replicated factor, sharded work):
-  * the [R_L, 128] block-store factor is replicated on every chip;
-  * each wavefront level's supernodes are partitioned across chips
-    (host-side, one batch shape per chip);
-  * each chip gathers/factors only its own panels and accumulates its
-    column results and Schur updates into a local delta over the block
-    store; a single psum over the mesh merges the level — the "halo
-    exchange" of update panels rides the ICI as one fused collective;
-  * set-as-add trick: a chip that factors a supernode contributes
-    (L_new - current) at the panel rows, so the psum result is exactly
-    the new factor state — deterministic, race-free by construction
-    (contrast with the reference's racy apply_update, SURVEY.md §2c).
+``strategy="subtree"`` (default — the north-star design):
+  * the assembly tree is cut at a host-computed frontier; below it, whole
+    subtrees are assigned to chips with LPT flop balancing (proportional
+    mapping).  A chip's panels below the frontier read only rows its own
+    subtrees wrote, so the entire lower phase runs with ZERO collectives —
+    elimination-tree parallelism is communication-free below the subtree
+    roots;
+  * updates from subtree supernodes into above-frontier ancestors
+    accumulate in the chip's local store; ONE psum of the (static,
+    host-computed) frontier rows merges them, using a set-as-add
+    contribution (local value minus the replicated initial A values);
+  * the few levels above the frontier run wavefront-partitioned with a
+    per-level psum halo exchange (they hold the big dense separators —
+    flops dominate communication there);
+  * one final masked psum assembles the replicated factor: each row is
+    taken from its owning chip (top rows from chip 0).
 
-Dead-lane padding: per level each chip gets the same batch shape; chips
-with fewer supernodes get "dead" panels with w = mb = 0, whose gather
-assembles the identity (factorizes to itself, contributes zero delta,
-pivot 1).
+``strategy="wavefront"`` (round-1 scheme, kept for comparison/tests):
+  * every level's supernodes are round-robined across chips and every
+    level pays one psum of its touched rows (set-as-add deltas).
+
+Both are deterministic and race-free by construction (contrast with the
+reference's racy apply_update, SURVEY.md §2c).  Dead-panel padding keeps
+per-chip shapes uniform under shard_map: chips with fewer supernodes in a
+step get panels with w = mb = 0, whose gather assembles the identity
+(factorizes to itself, contributes nothing, pivot 1).
 """
 
 from __future__ import annotations
@@ -54,70 +63,210 @@ from ..numeric import (
 # Host-side plan sharding
 
 
-def shard_plan(plan: FactorizePlan, ndev: int):
-    """Partition every level's buckets across ndev devices.
+def subtree_partition(plan: FactorizePlan, ndev: int, expand: int = 4):
+    """Cut the assembly tree into >= expand*ndev candidate subtrees and
+    LPT-assign them to chips by exact subtree flops (proportional mapping).
 
-    Per-supernode arrays gain a leading device axis (row0 [ndev, Bd], ...),
-    are flattened per field into ONE [ndev, total] buffer (jit arity stays
-    O(1); see numeric.build_runs), and ship with a static per-level meta.
-    Assignment: supernodes of a bucket are dealt round-robin — within a
-    bucket all panels cost the same (same padded shape), so round-robin is
-    flop-balanced.  Chips with fewer supernodes get "dead" panels with
-    w = mb = 0, whose gather assembles the identity.
+    Returns (owner, is_top): ``owner[s]`` = chip of supernode s, or -1 for
+    above-frontier ("top") supernodes; ``is_top`` = boolean mask.
+    """
+    import heapq
+
+    S = plan.S
+    ns = S.ns
+    w = plan.block_w.astype(np.float64)
+    mb = plan.block_m.astype(np.float64) - w
+    node_f = w**3 / 3 + w * w * mb + w * mb * mb
+    par = S.sparent
+    sub_f = node_f.copy()
+    for s in range(ns):          # children always precede parents
+        p = int(par[s])
+        if p >= 0:
+            sub_f[p] += sub_f[s]
+    children: list[list[int]] = [[] for _ in range(ns)]
+    for s in range(ns):
+        p = int(par[s])
+        if p >= 0:
+            children[p].append(s)
+
+    is_top = np.zeros(ns, dtype=bool)
+    roots = [s for s in range(ns) if par[s] < 0]
+    heap = [(-sub_f[s], s) for s in roots]
+    heapq.heapify(heap)
+    kept: list[int] = []
+    target = max(expand * ndev, ndev)
+    while heap and len(heap) + len(kept) < target:
+        negf, s = heapq.heappop(heap)
+        if not children[s]:
+            kept.append(s)           # unsplittable leaf subtree
+            continue
+        is_top[s] = True             # expand: s joins the top set
+        for c in children[s]:
+            heapq.heappush(heap, (-sub_f[c], c))
+    kept += [s for _, s in heap]
+
+    # LPT: heaviest subtree to the least-loaded chip
+    owner = np.full(ns, -1, dtype=np.int64)
+    load = np.zeros(ndev)
+    for s in sorted(kept, key=lambda s: -sub_f[s]):
+        c = int(np.argmin(load))
+        load[c] += sub_f[s]
+        stack = [s]
+        while stack:
+            t = stack.pop()
+            owner[t] = c
+            stack.extend(children[t])
+    return owner, is_top
+
+
+def _deal_bucket(b, per_chip: list[np.ndarray], ndev: int, chunks, offs):
+    """Pack one plan bucket into [ndev, Bd, ...] arrays following the given
+    per-chip index lists (into the bucket's batch axis), dead-padding chips
+    with fewer supernodes.  Appends to the flat chunks; returns the static
+    (spec, utile_g)."""
+    Bd = max(len(p) for p in per_chip)
+    fills = dict(row0=0, w=0, mb=0, col_idx=-1, below_idx=-1,
+                 ug=0, ujloc=0, up=0, urow0=0, ustride=1,
+                 uj0=b.mb_pad, uG=0)
+    spec = {}
+    fv = _np_fields(b)
+    for f in _FIELDS:
+        arr = fv[f]
+        if arr is None:
+            spec[f] = None
+            continue
+        rows = []
+        for c in range(ndev):
+            take = arr[per_chip[c]]
+            pad = Bd - len(per_chip[c])
+            if pad:
+                dead = np.full((pad,) + arr.shape[1:], fills[f], arr.dtype)
+                take = np.concatenate([take, dead], axis=0)
+            rows.append(take)
+        out = np.stack(rows, axis=0)           # [ndev, Bd, ...]
+        flat2 = np.ascontiguousarray(out, dtype=np.int32).reshape(ndev, -1)
+        chunks[f].append(flat2)
+        spec[f] = (offs[f], out.shape[1:])
+        offs[f] += flat2.shape[1]
+    return (tuple(sorted(spec.items())), b.utile_g)
+
+
+def _bucket_update_rows(b, ks) -> list[np.ndarray]:
+    """Store rows the Schur updates of supernodes ``ks`` of bucket b hit."""
+    out = []
+    if b.ug is None:
+        return out
+    for k in ks:
+        mbk = int(b.mb[k])
+        if not mbk:
+            continue
+        for g in range(int(b.uG[k])):
+            j0 = int(b.uj0[k, g])
+            out.append(
+                b.urow0[k, g] + b.up[k, j0:mbk, g] * b.ustride[k, g]
+            )
+    return out
+
+
+def _bucket_panel_rows(b, ks) -> list[np.ndarray]:
+    out = []
+    for k in ks:
+        r0 = int(b.row0[k]); wk = int(b.w[k]); mbk = int(b.mb[k])
+        nseg = -(-wk // 128) if wk else 1
+        out.append(np.arange(r0, r0 + (wk + mbk) * nseg))
+    return out
+
+
+def shard_plan(plan: FactorizePlan, ndev: int, strategy: str = "subtree"):
+    """Build the sharded device plan (see module docstring for the two
+    strategies).  Per-supernode arrays gain a leading device axis, are
+    flattened per field into ONE [ndev, total] buffer (jit arity stays
+    O(1); see numeric.build_runs), and ship with a static meta:
+
+      ("wavefront", per-level (steps, xrow span))
+      ("subtree",  local steps, frontier xrow span, per-top-level
+                   (steps, xrow span))
+
+    plus an ``ownrow`` [ndev, R_L] row-ownership mask (subtree only).
     """
     chunks = {f: [] for f in _FIELDS}
     offs = {f: 0 for f in _FIELDS}
-    meta = []
-    xchunks = []          # per-level touched-row sets (the psum halo)
+    xchunks = []          # concatenated psum row sets
     xoff = 0
-    xmeta = []
-    for lev in plan.levels:
-        lmeta = []
-        touched = []
-        for b in lev:
-            for k in range(b.batch):
-                r0 = int(b.row0[k]); wk = int(b.w[k]); mbk = int(b.mb[k])
-                nseg = -(-wk // 128) if wk else 1
-                touched.append(np.arange(r0, r0 + (wk + mbk) * nseg))
-                if b.ug is not None and mbk:
-                    G = int(b.uG[k])
-                    for g in range(G):
-                        j0 = int(b.uj0[k, g])
-                        touched.append(
-                            b.urow0[k, g]
-                            + b.up[k, j0:mbk, g] * b.ustride[k, g]
-                        )
+
+    def push_xrows(rowlists) -> tuple[int, int]:
+        nonlocal xoff
         xrows = (
-            np.unique(np.concatenate(touched)).astype(np.int64)
-            if touched else np.zeros(0, dtype=np.int64)
+            np.unique(np.concatenate(rowlists)).astype(np.int32)
+            if rowlists else np.zeros(0, dtype=np.int32)
         )
-        xchunks.append(xrows.astype(np.int32))
-        xmeta.append((xoff, len(xrows)))
+        span = (xoff, len(xrows))
+        xchunks.append(xrows)
         xoff += len(xrows)
-        for b in lev:
-            B = b.batch
-            Bd = -(-B // ndev)
-            pad = Bd * ndev - B
-            fills = dict(row0=0, w=0, mb=0, col_idx=-1, below_idx=-1,
-                         ug=0, ujloc=0, up=0, urow0=0, ustride=1,
-                         uj0=b.mb_pad, uG=0)
-            spec = {}
-            fv = _np_fields(b)
-            for f in _FIELDS:
-                arr = fv[f]
-                if arr is None:
-                    spec[f] = None
+        return span
+
+    if strategy == "wavefront":
+        meta = []
+        for lev in plan.levels:
+            rowlists = []
+            for b in lev:
+                ks = range(b.batch)
+                rowlists += _bucket_panel_rows(b, ks)
+                rowlists += _bucket_update_rows(b, ks)
+            span = push_xrows(rowlists)
+            lmeta = []
+            for b in lev:
+                rr = np.arange(b.batch)
+                per = [rr[rr % ndev == c] for c in range(ndev)]
+                lmeta.append(_deal_bucket(b, per, ndev, chunks, offs))
+            meta.append((tuple(lmeta), span))
+        static = ("wavefront", tuple(meta))
+        ownrow = None
+    elif strategy == "subtree":
+        owner, is_top = subtree_partition(plan, ndev)
+        # --- local phase: per (level, bucket), per-chip supernode lists ---
+        local_meta = []
+        fr_rowlists = []          # update rows landing on top supernodes
+        row_off = plan.row_off
+        nrows_of = plan.block_m * plan.block_nseg
+        for lev in plan.levels:
+            for b in lev:
+                own = owner[b.sn_ids]
+                loc = np.where(own >= 0)[0]
+                if not len(loc):
                     continue
-                if pad:
-                    dead = np.full((pad,) + arr.shape[1:], fills[f], arr.dtype)
-                    arr = np.concatenate([arr, dead], axis=0)
-                arr = arr.reshape(ndev, Bd, *arr.shape[1:])
-                flat2 = np.ascontiguousarray(arr, dtype=np.int32).reshape(ndev, -1)
-                chunks[f].append(flat2)
-                spec[f] = (offs[f], arr.shape[1:])
-                offs[f] += flat2.shape[1]
-            lmeta.append((tuple(sorted(spec.items())), b.utile_g))
-        meta.append(tuple(lmeta))
+                per = [loc[own[loc] == c] for c in range(ndev)]
+                local_meta.append(_deal_bucket(b, per, ndev, chunks, offs))
+                # frontier rows: local updates hitting top supernodes
+                for rows in _bucket_update_rows(b, loc):
+                    t = np.searchsorted(row_off, rows, side="right") - 1
+                    fr_rowlists.append(rows[is_top[t]])
+        fr_span = push_xrows(fr_rowlists)
+        # --- top phase: wavefront with per-level psum --------------------
+        top_meta = []
+        for lev in plan.levels:
+            lmeta = []
+            rowlists = []
+            for b in lev:
+                topk = np.where(owner[b.sn_ids] < 0)[0]
+                if not len(topk):
+                    continue
+                rowlists += _bucket_panel_rows(b, topk)
+                rowlists += _bucket_update_rows(b, topk)
+                per = [topk[topk % ndev == c] for c in range(ndev)]
+                lmeta.append(_deal_bucket(b, per, ndev, chunks, offs))
+            if lmeta:
+                top_meta.append((tuple(lmeta), push_xrows(rowlists)))
+        static = ("subtree", tuple(local_meta), fr_span, tuple(top_meta))
+        # --- row ownership mask (top rows -> chip 0) ---------------------
+        ownrow = np.zeros((ndev, plan.R_L), dtype=np.int8)
+        for s in range(plan.ns):
+            c = int(owner[s])
+            r0 = int(row_off[s]); r1 = r0 + int(nrows_of[s])
+            ownrow[max(c, 0), r0:r1] = 1
+    else:
+        raise ValueError(f"unknown shard strategy {strategy!r}")
+
     flat = {
         f: jnp.asarray(
             np.concatenate(chunks[f], axis=1)
@@ -125,12 +274,12 @@ def shard_plan(plan: FactorizePlan, ndev: int):
         )
         for f in _FIELDS
     }
-    return {
+    out = {
         "flat": flat,
         "xrows": jnp.asarray(
             np.concatenate(xchunks) if xchunks else np.zeros(0, np.int32)
         ),
-        "meta": _Static((tuple(meta), tuple(xmeta))),
+        "meta": _Static(static),
         "entry_row": jnp.asarray(plan.entry_row.astype(np.int32)),
         "entry_lane": jnp.asarray(plan.entry_lane.astype(np.int32)),
         "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
@@ -139,6 +288,9 @@ def shard_plan(plan: FactorizePlan, ndev: int):
         "perm": jnp.asarray(plan.perm.astype(np.int32)),
         "iperm": jnp.asarray(plan.iperm.astype(np.int32)),
     }
+    if ownrow is not None:
+        out["ownrow"] = jnp.asarray(ownrow)
+    return out
 
 
 def _unpack_local(flat, spec) -> _BucketArrays:
@@ -160,33 +312,70 @@ def _unpack_local(flat, spec) -> _BucketArrays:
 # Device-side sharded factorize
 
 
+def _psum_level(Lx, arrays, lmeta, span, *, R_L, dtype, axis, minpivs):
+    """One wavefront level: factor local panels into a zero delta, psum the
+    level's touched rows, commit.  The set-as-add trick makes the psum
+    result exactly the new factor state."""
+    xoff, xlen = span
+    delta = jnp.zeros_like(Lx)
+    for spec, utile_g in lmeta:
+        bl = _unpack_local(arrays["flat"], spec)
+        Pn = gather_panels(Lx, bl, R_L)
+        L, piv = _panel_factor(Pn, bl.w_pad, "xla")
+        minpivs.append(piv)
+        # set-as-add: the panel rows currently hold Pn minus the
+        # arithmetic identity padding, which lives at dropped rows
+        delta = scatter_panels(delta, bl, L - Pn, R_L)
+        if bl.mb_pad:
+            delta = apply_schur_update(
+                delta, bl, L[:, bl.w_pad:, :], R_L, dtype, utile_g
+            )
+    # halo exchange: only the rows this level writes (panel rows +
+    # update targets, a static host-computed union) ride the psum.
+    xrows = jax.lax.slice(arrays["xrows"], (xoff,), (xoff + xlen,))
+    h = jnp.take(delta, xrows, axis=0, mode="fill", fill_value=0)
+    h = jax.lax.psum(h, axis)
+    return Lx.at[xrows].add(h, mode="drop")
+
+
 def _sharded_factorize_body(arrays, Ax, *, R_L, dtype, axis: str, scale: bool):
     """Runs per device inside shard_map; bucket arrays arrive device-local
     (leading device axis of size 1 under the sharding)."""
     Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
-
     minpivs = []
-    levels_meta, xmeta = arrays["meta"].value
-    for lmeta, (xoff, xlen) in zip(levels_meta, xmeta):
-        delta = jnp.zeros_like(Lx)
-        for spec, utile_g in lmeta:
+    static = arrays["meta"].value
+
+    if static[0] == "wavefront":
+        for lmeta, span in static[1]:
+            Lx = _psum_level(Lx, arrays, lmeta, span, R_L=R_L, dtype=dtype,
+                             axis=axis, minpivs=minpivs)
+    else:
+        _tag, local_meta, (fr_off, fr_len), top_meta = static
+        # ---- local phase: whole subtrees per chip, ZERO collectives -----
+        frows = jax.lax.slice(arrays["xrows"], (fr_off,), (fr_off + fr_len,))
+        fr_init = jnp.take(Lx, frows, axis=0, mode="fill", fill_value=0)
+        for spec, utile_g in local_meta:
             bl = _unpack_local(arrays["flat"], spec)
             Pn = gather_panels(Lx, bl, R_L)
             L, piv = _panel_factor(Pn, bl.w_pad, "xla")
             minpivs.append(piv)
-            # set-as-add: the panel rows currently hold Pn minus the
-            # arithmetic identity padding, which lives at dropped rows
-            delta = scatter_panels(delta, bl, L - Pn, R_L)
+            Lx = scatter_panels(Lx, bl, L, R_L)
             if bl.mb_pad:
-                delta = apply_schur_update(
-                    delta, bl, L[:, bl.w_pad:, :], R_L, dtype, utile_g
+                Lx = apply_schur_update(
+                    Lx, bl, L[:, bl.w_pad:, :], R_L, dtype, utile_g
                 )
-        # halo exchange: only the rows this level writes (panel rows +
-        # update targets, a static host-computed union) ride the psum.
-        xrows = jax.lax.slice(arrays["xrows"], (xoff,), (xoff + xlen,))
-        h = jnp.take(delta, xrows, axis=0, mode="fill", fill_value=0)
+        # ---- frontier: merge all subtree contributions into top rows ----
+        h = jnp.take(Lx, frows, axis=0, mode="fill", fill_value=0) - fr_init
         h = jax.lax.psum(h, axis)
-        Lx = Lx.at[xrows].add(h, mode="drop")
+        Lx = Lx.at[frows].set(fr_init + h, mode="drop")
+        # ---- top phase: few levels, per-level psum ----------------------
+        for lmeta, span in top_meta:
+            Lx = _psum_level(Lx, arrays, lmeta, span, R_L=R_L, dtype=dtype,
+                             axis=axis, minpivs=minpivs)
+        # ---- final merge: every row from its owning chip ----------------
+        mask = arrays["ownrow"][0].astype(dtype)[:, None]
+        Lx = jax.lax.psum(Lx * mask, axis)
+
     minpiv_flat = (
         jnp.concatenate(minpivs) if minpivs else jnp.zeros((0,), dtype=dtype)
     )
@@ -194,7 +383,8 @@ def _sharded_factorize_body(arrays, Ax, *, R_L, dtype, axis: str, scale: bool):
 
 
 def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
-                      scale: bool = False, check: bool = True):
+                      scale: bool = False, check: bool = True,
+                      strategy: str = "subtree"):
     """Distributed numeric factorization over a 1D mesh.
 
     Returns (Lx, d): the replicated block-store factor (same contents on
@@ -204,27 +394,28 @@ def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if arrays is None:
-        arrays = shard_plan(plan, ndev)
+        arrays = shard_plan(plan, ndev, strategy)
     dtype = jnp.dtype(plan.dtype)
 
-    # bucket index arrays are sharded over their leading device axis;
-    # everything else (entry/diag maps, Ax, Lx) is replicated
-    in_specs = (
-        {
-            "flat": {f: P(axis) for f in _FIELDS},
-            "xrows": P(),
-            # _Static carries no array leaves; a vacuous leaf spec suffices
-            "meta": P(),
-            "entry_row": P(),
-            "entry_lane": P(),
-            "entry_plo": P(),
-            "entry_phi": P(),
-            "diag_map": P(),
-            "perm": P(),
-            "iperm": P(),
-        },
-        P(),
-    )
+    # bucket index arrays (and the row-ownership mask) are sharded over
+    # their leading device axis; everything else (entry/diag maps, Ax, Lx)
+    # is replicated
+    spec = {
+        "flat": {f: P(axis) for f in _FIELDS},
+        "xrows": P(),
+        # _Static carries no array leaves; a vacuous leaf spec suffices
+        "meta": P(),
+        "entry_row": P(),
+        "entry_lane": P(),
+        "entry_plo": P(),
+        "entry_phi": P(),
+        "diag_map": P(),
+        "perm": P(),
+        "iperm": P(),
+    }
+    if "ownrow" in arrays:
+        spec["ownrow"] = P(axis)
+    in_specs = (spec, P())
 
     body = functools.partial(
         _sharded_factorize_body, R_L=plan.R_L, dtype=dtype, axis=axis,

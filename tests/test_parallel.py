@@ -30,13 +30,29 @@ def _check_sharded(A, mesh, **kw):
     return plan, Lx, d
 
 
-def test_sharded_matches_single_bcsstk01(bcsstk01, mesh8):
-    _check_sharded(bcsstk01, mesh8)
+@pytest.mark.parametrize("strategy", ["subtree", "wavefront"])
+def test_sharded_matches_single_bcsstk01(bcsstk01, mesh8, strategy):
+    _check_sharded(bcsstk01, mesh8, strategy=strategy)
 
 
-def test_sharded_matches_single_random(mesh8):
+@pytest.mark.parametrize("strategy", ["subtree", "wavefront"])
+def test_sharded_matches_single_random(mesh8, strategy):
     A = generators.random_sparse(120, 0.15, seed=11)
-    _check_sharded(A, mesh8)
+    _check_sharded(A, mesh8, strategy=strategy)
+
+
+def test_subtree_partition_covers_all(bcsstk01):
+    plan = compile_plan(bcsstk01)
+    owner, is_top = shard.subtree_partition(plan, 4)
+    # every supernode is either owned by a chip or in the top set
+    assert ((owner >= 0) ^ is_top).all()
+    # owners are closed under descendants: a child's owner matches its
+    # parent's unless the parent is top
+    par = plan.S.sparent
+    for s in range(plan.ns):
+        p = int(par[s])
+        if p >= 0 and not is_top[p]:
+            assert owner[s] == owner[p]
 
 
 def test_sharded_solve(mesh8):
