@@ -221,3 +221,18 @@ def test_dense_instore_with_below_rows(monkeypatch):
     Ap = A.to_scipy().toarray()[np.ix_(plan.perm, plan.perm)]
     res = np.linalg.norm((L @ L.T).toarray() - Ap) / np.linalg.norm(Ap)
     assert res < 1e-12
+
+
+def test_pad_profile_coarse(bcsstk01):
+    """The coarse padding-tier profile factors identically (up to fp) to
+    the default fine profile."""
+    from sparsecholesky_tpu.plan import compile_plan
+    from sparsecholesky_tpu import numeric
+
+    p_fine = compile_plan(bcsstk01)
+    p_coarse = compile_plan(bcsstk01, pad_profile="coarse")
+    Lf, _ = numeric.factorize(p_fine, bcsstk01.data)
+    Lc, _ = numeric.factorize(p_coarse, bcsstk01.data)
+    Ff = p_fine.extract_csc(np.asarray(Lf)).to_dense()
+    Fc = p_coarse.extract_csc(np.asarray(Lc)).to_dense()
+    np.testing.assert_allclose(Fc, Ff, atol=1e-9 * max(1.0, np.abs(Ff).max()))
