@@ -130,9 +130,10 @@ class CholeskyFactor:
         for s in range(S.ns):
             w = int(self.plan.block_w[s])
             r0 = int(self.plan.row_off[s])
-            nseg = int(self.plan.block_nseg[s])
+            m = int(self.plan.block_m[s])
             jj = np.arange(w)
-            out[int(S.sn_ptr[s]) + jj] = Lx[r0 + jj * nseg + jj // 128, jj % 128]
+            # segment-major: diagonal (j, j) lives in segment j//128, row j
+            out[int(S.sn_ptr[s]) + jj] = Lx[r0 + (jj // 128) * m + jj, jj % 128]
         return out
 
     def refactorize(self, Ax) -> "CholeskyFactor":

@@ -62,12 +62,19 @@ class _BucketArrays:
     ustride: jax.Array | None  # [B, G_pad]
     uj0: jax.Array | None    # [B, G_pad]
     uG: jax.Array | None     # [B]
+    # hazard-scheduled extend-add window table (built by build_runs; see
+    # plan.Bucket.runs_raw and ops/extend_add.py).  [NW] each, windows of
+    # all update chunks concatenated (static per-chunk counts ride in the
+    # run meta as ``rchunks``):
+    rstart: jax.Array | None = None   # first store row of the RMW window
+    rcoff: jax.Array | None = None    # first row of the window's C slice
+    rlen: jax.Array | None = None     # packed (uoff << 8) | valid length
 
     def tree_flatten(self):
         return (
             self.row0, self.w, self.mb, self.col_idx, self.below_idx,
             self.ug, self.ujloc, self.up, self.urow0, self.ustride,
-            self.uj0, self.uG,
+            self.uj0, self.uG, self.rstart, self.rcoff, self.rlen,
         ), None
 
     @classmethod
@@ -113,6 +120,101 @@ jax.tree_util.register_pytree_node(
 _FIELDS = ("row0", "w", "mb", "col_idx", "below_idx",
            "ug", "ujloc", "up", "urow0", "ustride", "uj0", "uG")
 
+#: extend-add window-table fields (compiled here, not in the plan buckets)
+_RUN_FIELDS = ("rstart", "rcoff", "rlen")
+
+#: DMA pipeline depth of the extend-add kernel (ops/extend_add.py); the
+#: hazard scheduler spaces conflicting windows at least this far apart
+RUN_NBUF = 4
+
+
+def _window_table(b, utile_g, dummy_row: int, itemsize: int, T: int):
+    """Compile one plan bucket's raw update runs (plan.Bucket.runs_raw)
+    into the hazard-scheduled RMW window table consumed by
+    apply_schur_update's "runs" modes.  Windows of all update chunks are
+    concatenated; returns (rstart, rcoff, rlen, per-chunk counts).
+
+    rlen packs (uoff << 8) | valid_length: windows whose T-row U-tile DMA
+    would overrun the chunk's C buffer are shifted back by uoff rows (both
+    in C and in the store) and their valid rows sit at offset uoff inside
+    the window."""
+    from .plan import update_chunks, _UPDATE_TILE
+
+    rr = b.runs_raw
+    have = rr is not None and len(rr)
+    tile_of = rr[:, 2] // _UPDATE_TILE if have else None
+    outs, outc, outl, counts, ncs = [], [], [], [], []
+    for ti, i0, i1, gt, b0, b1 in update_chunks(
+            b.batch, b.mb_pad, b.g_pad, utile_g, itemsize):
+        tlen = i1 - i0
+        NC = max((b1 - b0) * gt * tlen, T)  # C buffer is padded to >= T rows
+        ncs.append(NC)
+        sub = (rr[(tile_of == ti) & (rr[:, 0] >= b0) & (rr[:, 0] < b1)]
+               .astype(np.int64) if have else np.zeros((0, 5), np.int64))
+        if not len(sub):
+            counts.append(0)
+            continue
+        coff = ((sub[:, 0] - b0) * gt + sub[:, 1]) * tlen + (sub[:, 2] - i0)
+        # chunk each run into T-row windows
+        reps = -(-sub[:, 3] // T)
+        idx = np.repeat(np.arange(len(sub)), reps)
+        k = (np.arange(reps.sum())
+             - np.repeat(np.cumsum(reps) - reps, reps)) * T
+        ws = sub[idx, 4] + k
+        wc = coff[idx] + k
+        wl = np.minimum(T, sub[idx, 3] - k)
+        uoff = np.maximum(0, wc + T - NC)
+        if (ws < uoff).any():
+            raise AssertionError("extend-add window underflows the store")
+        ws = ws - uoff
+        wc = wc - uoff
+        wl = (uoff << 8) | wl
+        ws, wc, wl = _hazard_schedule(ws, wc, wl, dummy_row, NC - T, T)
+        outs.append(ws)
+        outc.append(wc)
+        outl.append(wl)
+        counts.append(len(ws))
+    cat = lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int64)
+    return cat(outs), cat(outc), cat(outl), tuple(counts), tuple(ncs)
+
+
+def _hazard_schedule(ws, wc, wl, dummy_row, dummy_coff, T, nbuf=RUN_NBUF):
+    """Order windows so that any two whose [s, s+T) store-row intervals
+    overlap sit >= nbuf apart in the sequence: the extend-add kernel keeps
+    at most nbuf windows in flight and completes window r's write-back
+    before window r+nbuf's read starts, so spaced conflicts are
+    read-modify-write safe.  Sort by start (conflicting windows become
+    neighbors), interleave nbuf strided classes (consecutive emissions are
+    ~N/nbuf sorted positions apart), then verify and pad any residual
+    violation with zero-length dummy windows aimed at the dead store
+    tail."""
+    n = len(ws)
+    if n == 0:
+        return ws, wc, wl
+    o = np.argsort(ws, kind="stable")
+    rows = -(-n // nbuf)
+    idx = np.full(rows * nbuf, -1, np.int64)
+    idx[:n] = o
+    emit = idx.reshape(nbuf, rows).T.ravel()
+    emit = emit[emit >= 0]
+    ws, wc, wl = ws[emit], wc[emit], wl[emit]
+    bad = np.zeros(n, bool)
+    for d in range(1, nbuf):
+        bad[d:] |= np.abs(ws[d:] - ws[:-d]) < T
+    if bad.any():
+        # nbuf-1 dummies before each offender guarantee its spacing from
+        # every real predecessor; dummies add 0 at the dead tail rows, so
+        # races among themselves are value-preserving
+        reps = np.where(bad, nbuf, 1).astype(np.int64)
+        pos = np.cumsum(reps) - 1
+        total = int(reps.sum())
+        ws2 = np.full(total, dummy_row, np.int64)
+        wc2 = np.full(total, dummy_coff, np.int64)
+        wl2 = np.zeros(total, np.int64)
+        ws2[pos], wc2[pos], wl2[pos] = ws, wc, wl
+        ws, wc, wl = ws2, wc2, wl2
+    return ws, wc, wl
+
 
 def _bucket_sig(b) -> tuple:
     """Static shape signature — steps with equal signatures can share one
@@ -149,9 +251,12 @@ def build_runs(plan: FactorizePlan):
     pytrees trip XLA's tuple-parameter flattening and slow dispatch.
     """
     steps = [b for lev in plan.levels for b in lev]
-    chunks = {f: [] for f in _FIELDS}
-    offs = {f: 0 for f in _FIELDS}
+    chunks = {f: [] for f in _FIELDS + _RUN_FIELDS}
+    offs = {f: 0 for f in _FIELDS + _RUN_FIELDS}
     meta = []
+    rtile = plan.run_tile
+    dummy_row = plan.R_L - rtile
+    itemsize = plan.dtype.itemsize
     i = 0
     while i < len(steps):
         sig = _bucket_sig(steps[i])
@@ -179,10 +284,50 @@ def build_runs(plan: FactorizePlan):
             chunks[f].append(np.ascontiguousarray(arr, dtype=np.int32).ravel())
             spec[f] = (offs[f], arr.shape)
             offs[f] += arr.size
-        meta.append((kind, tuple(sorted(spec.items())), utile_g, wm))
+        # ---- extend-add window tables (chunk layout needs the group-wide
+        # utile_g, so they compile here, not in the plan) ------------------
+        rchunks: tuple = ()
+        if group[0].mb_pad:
+            tabs = [_window_table(b, utile_g, dummy_row, itemsize, rtile)
+                    for b in group]
+            counts0 = [t[3] for t in tabs]
+            ncl = tabs[0][4]
+            ncs = len(ncl)
+            maxn = tuple(max(c[ch] for c in counts0) for ch in range(ncs))
+            rchunks = maxn
+            stacked = {f: [] for f in _RUN_FIELDS}
+            for rs, rc, rl, counts, _nc in tabs:
+                segs = {f: [] for f in _RUN_FIELDS}
+                off = 0
+                for ch in range(ncs):
+                    cnt = counts[ch]
+                    segs["rstart"].append(rs[off:off + cnt])
+                    segs["rcoff"].append(rc[off:off + cnt])
+                    segs["rlen"].append(rl[off:off + cnt])
+                    pad = maxn[ch] - cnt
+                    if pad:
+                        segs["rstart"].append(
+                            np.full(pad, dummy_row, np.int64))
+                        segs["rcoff"].append(
+                            np.full(pad, ncl[ch] - rtile, np.int64))
+                        segs["rlen"].append(np.zeros(pad, np.int64))
+                    off += cnt
+                for f in _RUN_FIELDS:
+                    stacked[f].append(np.concatenate(segs[f])
+                                      if segs[f] else np.zeros(0, np.int64))
+            for f in _RUN_FIELDS:
+                arr = (np.stack(stacked[f], axis=0) if kind == "scan"
+                       else stacked[f][0])
+                chunks[f].append(
+                    np.ascontiguousarray(arr, dtype=np.int32).ravel())
+                spec[f] = (offs[f], arr.shape)
+                offs[f] += arr.size
+        for f in _RUN_FIELDS:
+            spec.setdefault(f, None)
+        meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks))
         i = j
     flat = {}
-    for f in _FIELDS:
+    for f in _FIELDS + _RUN_FIELDS:
         arr = np.concatenate(chunks[f]) if chunks[f] else np.zeros(0, np.int32)
         if f == "up" and arr.size and 0 <= arr.min() and arr.max() < 65536:
             # `up` dominates plan memory (O(mb_pad * G_pad) per supernode;
@@ -196,8 +341,9 @@ def build_runs(plan: FactorizePlan):
 
 def unpack_run(flat, rmeta):
     """Rebuild one run's _BucketArrays from the flat buffers via static
-    slices (free at compile time).  Returns (kind, bucket, utile_g, wm)."""
-    kind, spec, utile_g, wm = rmeta
+    slices (free at compile time).
+    Returns (kind, bucket, utile_g, wm, rchunks)."""
+    kind, spec, utile_g, wm, rchunks = rmeta
     fields = {}
     for f, fs in spec:
         if fs is None:
@@ -206,7 +352,7 @@ def unpack_run(flat, rmeta):
             off, shape = fs
             size = int(np.prod(shape))
             fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
-    return kind, _BucketArrays(**fields), utile_g, wm
+    return kind, _BucketArrays(**fields), utile_g, wm, rchunks
 
 
 def device_arrays(plan: FactorizePlan):
@@ -219,6 +365,7 @@ def device_arrays(plan: FactorizePlan):
     return {
         "flat": flat,
         "meta": _Static(meta),
+        "rtile": _Static(plan.run_tile),
         "entry_row": jnp.asarray(plan.entry_row.astype(np.int32)),
         "entry_lane": jnp.asarray(plan.entry_lane.astype(np.int32)),
         "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
@@ -246,12 +393,14 @@ def _nseg_pad(w_pad: int) -> int:
 
 def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int):
     """int32[B, (w_pad + mb_pad) * nseg_pad] store-row indices of each
-    assembled panel, segment-major within a logical row.
+    assembled panel, lane-segment-minor within the index grid.
 
-    Logical rows [0, w) -> the supernode's block rows (each spanning
-    nseg = ceil(w/LANE) consecutive store rows); identity-padding rows
-    [w, w_pad), below padding and out-of-range segments -> the
-    out-of-bounds row R_L (gathers fill 0, scatters drop)."""
+    The store is segment-major (plan.py): logical row i, lane segment k of
+    supernode s lives at store row row_off[s] + k*m + i with m the block's
+    total row count — affine in (i, k) with per-supernode scalars only.
+    Identity-padding rows [w, w_pad), below padding and out-of-range
+    segments -> the out-of-bounds row R_L (gathers fill 0, scatters
+    drop)."""
     m_pad = w_pad + mb_pad
     nsp = _nseg_pad(w_pad)
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad, 1), 1)
@@ -265,7 +414,7 @@ def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int):
     r = jnp.where(diag, ii, wb + (ii - w_pad))
     ridx = jnp.where(
         (diag | below) & (kk < nseg),
-        r0 + r * nseg + kk,
+        r0 + kk * (wb + mbb) + r,
         jnp.int32(R_L),
     )
     return ridx.reshape(ridx.shape[0], m_pad * nsp)
@@ -305,25 +454,36 @@ def scatter_panels(Lx, b: _BucketArrays, L, R_L: int):
 # scatter-add are chunked over below rows to bound transient memory and to
 # exploit the static per-tile owner bound (plan.Bucket.utile_g).
 UPDATE_TILE = 512
-# Cap on the extend-add einsum transient per chunk (bytes); batches larger
-# than this split (see apply_schur_update).
-_C_CAP = 192 * 2**20
 
 
 def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
-                       utile_g=()):
+                       utile_g=(), extend: str = "scatter", rchunks=(),
+                       run_tile: int = 16):
     """Lane-aligned extend-add (see plan.py):
 
       V[b, g, lane, :]   = L21[b, j, :]  at lane ujloc(j), group ug(j)
       C[b, g, i, lane]   = L21[b, i, :] . V[b, g, lane, :]   (MXU)
-      store_row(urow0[g] + up[i, g]*stride) -= C[b, g, i, :] (row scatter)
+      Lx[target rows]   -= C rows                            (RMW)
 
-    Terms with r_i < r_j land on strict-upper scratch; rows with no valid
-    pair (i < uj0[g]) or padded groups (g >= uG) mask to out-of-bounds.
-    Per i-tile, only the first utile_g[tile] owner groups are touched
-    (owners are sorted by uj0), which eliminates both the lower-triangle
-    and the group-padding waste of the full [G_pad, mb_pad] grid.
+    Terms with r_i < r_j land on strict-upper scratch; per i-tile, only the
+    first utile_g[tile] owner groups are computed (owners are sorted by
+    uj0), which eliminates both the lower-triangle and the group-padding
+    waste of the full [G_pad, mb_pad] grid.
+
+    The RMW step has three implementations (``extend``):
+      "scatter":     per-(i, g) row scatter-add via the ``up`` position
+                     maps, invalid rows masked out-of-bounds (XLA scatter,
+                     measured ~70-90 GB/s RMW on v5e) — the portable path.
+      "runs_xla":    window-table path on XLA ops: gather the window's C
+                     rows, scatter-add T-row windows (CPU/test reference
+                     for the kernel's exact summation grouping).
+      "runs_pallas": the Pallas DMA kernel (ops/extend_add.py) — windows of
+                     RUN_TILE consecutive store rows RMW'd in VMEM with a
+                     pipelined DMA chain; the fast path on TPU.
     """
+    from .plan import update_chunks
+
+    T = run_tile
     B, mb_pad, w_pad = L21.shape
     G_pad = b.g_pad
 
@@ -341,21 +501,14 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
     if not utile_g:
         utile_g = (G_pad,) * ntiles
     itemsize = jnp.dtype(dtype).itemsize
-    for ti in range(ntiles):
-        i0 = ti * UPDATE_TILE
-        i1 = min(mb_pad, i0 + UPDATE_TILE)
-        gt = min(int(utile_g[ti]), G_pad)
-        # bound the einsum transient C [bs, gt, t, LANE] by chunking the
-        # batch: large-B buckets of big plans would otherwise peak >1 GiB
-        # per step (an OOM at 1M rows on a 16 GiB chip)
-        per_b = gt * (i1 - i0) * LANE * itemsize
-        bchunk = max(1, min(B, _C_CAP // max(per_b, 1)))
-        for b0 in range(0, B, bchunk):
-            b1 = min(B, b0 + bchunk)
-            C = jnp.einsum(
-                "bik,bgck->bgic", L21[b0:b1, i0:i1], V[b0:b1, :gt],
-                preferred_element_type=dtype,
-            )                                           # [bs, gt, t, LANE]
+    roff = 0
+    for ci, (ti, i0, i1, gt, b0, b1) in enumerate(update_chunks(
+            B, mb_pad, G_pad, utile_g, itemsize)):
+        C = jnp.einsum(
+            "bik,bgck->bgic", L21[b0:b1, i0:i1], V[b0:b1, :gt],
+            preferred_element_type=dtype,
+        )                                           # [bs, gt, t, LANE]
+        if extend == "scatter":
             pos = jnp.swapaxes(b.up[b0:b1, i0:i1, :gt], 1, 2).astype(
                 jnp.int32
             )                                           # [bs, gt, t]
@@ -370,6 +523,35 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
             rows = jnp.where(valid, rows, jnp.int32(R_L))
             Lx = Lx.at[rows.reshape(-1)].add(
                 -C.reshape(-1, LANE), mode="drop"
+            )
+            continue
+        # ---- window-table paths ----------------------------------------
+        nw = rchunks[ci]
+        if not nw:
+            roff += nw
+            continue
+        Cf = C.reshape(-1, LANE)
+        if Cf.shape[0] < T:              # tiny chunk: pad to one window
+            Cf = jnp.pad(Cf, ((0, T - Cf.shape[0]), (0, 0)))
+        rs = jax.lax.slice(b.rstart, (roff,), (roff + nw,))
+        rc = jax.lax.slice(b.rcoff, (roff,), (roff + nw,))
+        rl = jax.lax.slice(b.rlen, (roff,), (roff + nw,))
+        roff += nw
+        if extend == "runs_pallas":
+            from .ops.extend_add import run_rmw
+
+            Lx = run_rmw(Lx, Cf, rs, rc, rl, T=T)
+        else:
+            uoff = rl >> 8
+            vlen = rl & 0xFF
+            kk = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            valid = (kk >= uoff[:, None]) & (kk < (uoff + vlen)[:, None])
+            U = jnp.take(Cf, rc[:, None] + kk, axis=0, mode="fill",
+                         fill_value=0)
+            U = jnp.where(valid[:, :, None], U, 0)
+            rows = jnp.where(valid, rs[:, None] + kk, jnp.int32(R_L))
+            Lx = Lx.at[rows.reshape(-1)].add(
+                -U.reshape(-1, LANE), mode="drop"
             )
     return Lx
 
@@ -388,15 +570,20 @@ DENSE_KB = 2048
 
 
 def _dense_instore_step(Lx, b: _BucketArrays, R_L: int, dtype, utile_g,
-                        wm):
+                        wm, extend: str = "scatter", rchunks=(),
+                        run_tile: int = 16):
     w, mb = wm
     m = w + mb
     nseg = -(-w // LANE)
     wfull = nseg * LANE
     r0 = b.row0[0]
-    M = jax.lax.dynamic_slice(
-        Lx, (r0, jnp.int32(0)), (m * nseg, LANE)
-    ).reshape(m, wfull)
+    # segment-major slab [nseg, m, LANE] -> logical dense [m, wfull]
+    M = (
+        jax.lax.dynamic_slice(Lx, (r0, jnp.int32(0)), (m * nseg, LANE))
+        .reshape(nseg, m, LANE)
+        .transpose(1, 0, 2)
+        .reshape(m, wfull)
+    )
 
     minpiv = jnp.asarray(jnp.inf, dtype)
     for k in range(0, w, DENSE_KB):
@@ -424,7 +611,9 @@ def _dense_instore_step(Lx, b: _BucketArrays, R_L: int, dtype, utile_g,
                 M = M.at[k + kb :, k + kb : w].add(-Ct)
 
     Lx = jax.lax.dynamic_update_slice(
-        Lx, M.reshape(m * nseg, LANE), (r0, jnp.int32(0))
+        Lx,
+        M.reshape(m, nseg, LANE).transpose(1, 0, 2).reshape(m * nseg, LANE),
+        (r0, jnp.int32(0)),
     )
     if mb:
         L21x = M[w:, :]
@@ -438,7 +627,8 @@ def _dense_instore_step(Lx, b: _BucketArrays, R_L: int, dtype, utile_g,
             L21x = jnp.pad(L21x, ((0, 0), (0, w_pad - wfull)))
         elif wfull > w_pad:
             L21x = L21x[:, :w_pad]
-        Lx = apply_schur_update(Lx, b, L21x[None], R_L, dtype, utile_g)
+        Lx = apply_schur_update(Lx, b, L21x[None], R_L, dtype, utile_g,
+                                extend, rchunks, run_tile)
     return Lx, minpiv[None]
 
 
@@ -537,7 +727,7 @@ def _initial_values(arrays, Ax, *, R_L: int, dtype, scale: bool):
 
 
 def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
-                    scale: bool = False):
+                    scale: bool = False, extend: str = "scatter"):
     """Pure jittable numeric factorization.
     Returns (Lx, minpiv_flat, d) where d is the symmetric Jacobi
     equilibration vector (ones when ``scale`` is off): the factor stored is
@@ -548,8 +738,9 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
     """
     Ax = Ax.astype(jnp.result_type(Ax.dtype))
     Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
+    rtile = arrays["rtile"].value if "rtile" in arrays else 16
 
-    def step(Lx, b, utile_g):
+    def step(Lx, b, utile_g, rchunks):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L)
         L, minpiv = _panel_factor(P, w_pad, backend)
@@ -558,20 +749,21 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
             # Schur updates target strictly later levels (assembly-tree
             # ancestors), never a peer, so immediate application is safe.
             Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype,
-                                    utile_g)
+                                    utile_g, extend, rchunks, rtile)
         return Lx, minpiv
 
     minpivs = []
-    for kind, rb, utile_g, wm in iter_runs(arrays):
+    for kind, rb, utile_g, wm, rchunks in iter_runs(arrays):
         if kind == "single" and wm is not None and rb.w_pad >= DENSE_INSTORE:
-            Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm)
+            Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
+                                         extend, rchunks, rtile)
             minpivs.append(mp)
         elif kind == "single":
-            Lx, mp = step(Lx, rb, utile_g)
+            Lx, mp = step(Lx, rb, utile_g, rchunks)
             minpivs.append(mp)
         else:
             Lx, mps = jax.lax.scan(
-                lambda c, x: step(c, x, utile_g), Lx, rb
+                lambda c, x: step(c, x, utile_g, rchunks), Lx, rb
             )
             minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -582,10 +774,11 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R_L", "dtype", "backend", "scale", "precision"),
+    static_argnames=("R_L", "dtype", "backend", "scale", "precision",
+                     "extend"),
 )
 def _factorize_jit(arrays, Ax, R_L, dtype, backend, scale,
-                   precision="highest"):
+                   precision="highest", extend="scatter"):
     # TPU matmuls default to bfloat16 passes; the SYRK / dense-cholesky /
     # triangular-solve chain needs true fp32 accumulation ("highest",
     # 6 bf16 passes) or equilibrated fp32 factorizations lose ~3 decimal
@@ -594,7 +787,8 @@ def _factorize_jit(arrays, Ax, R_L, dtype, backend, scale,
     # viable for well-conditioned systems solved with iterative refinement.
     with jax.default_matmul_precision(precision):
         return _factorize_impl(
-            arrays, Ax, R_L=R_L, dtype=dtype, backend=backend, scale=scale
+            arrays, Ax, R_L=R_L, dtype=dtype, backend=backend, scale=scale,
+            extend=extend,
         )
 
 
@@ -616,35 +810,39 @@ def _init_jit(arrays, Ax, R_L, dtype, scale):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R_L", "dtype", "backend", "lo", "hi", "precision"),
+    static_argnames=("R_L", "dtype", "backend", "lo", "hi", "precision",
+                     "extend"),
     donate_argnums=(1,),
 )
 def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
-               precision="highest"):
-    def step(Lx, b, utile_g):
+               precision="highest", extend="scatter"):
+    rtile = arrays["rtile"].value if "rtile" in arrays else 16
+
+    def step(Lx, b, utile_g, rchunks):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L)
         L, minpiv = _panel_factor(P, w_pad, backend)
         Lx = scatter_panels(Lx, b, L, R_L)
         if mb_pad:
             Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype,
-                                    utile_g)
+                                    utile_g, extend, rchunks, rtile)
         return Lx, minpiv
 
     minpivs = []
     with jax.default_matmul_precision(precision):
         for rmeta in arrays["meta"].value[lo:hi]:
-            kind, rb, utile_g, wm = unpack_run(arrays["flat"], rmeta)
+            kind, rb, utile_g, wm, rchunks = unpack_run(arrays["flat"], rmeta)
             if (kind == "single" and wm is not None
                     and rb.w_pad >= DENSE_INSTORE):
-                Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm)
+                Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
+                                             extend, rchunks, rtile)
                 minpivs.append(mp)
             elif kind == "single":
-                Lx, mp = step(Lx, rb, utile_g)
+                Lx, mp = step(Lx, rb, utile_g, rchunks)
                 minpivs.append(mp)
             else:
                 Lx, mps = jax.lax.scan(
-                    lambda c, x: step(c, x, utile_g), Lx, rb
+                    lambda c, x: step(c, x, utile_g, rchunks), Lx, rb
                 )
                 minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -673,7 +871,7 @@ def _chunk_boundaries(meta) -> list:
 
 
 def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale,
-                       precision="highest"):
+                       precision="highest", extend="scatter"):
     meta = arrays["meta"].value
     Lx, d = _init_jit(arrays, jnp.asarray(Ax), R_L, dtype, scale)
     pivs = []
@@ -683,9 +881,13 @@ def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale,
         lo, hi = plan[i]
         try:
             Lx, mp = _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
-                                precision)
+                                precision, extend)
         except Exception:
-            if hi - lo <= 1:
+            # Lx is donated into _chunk_jit: a compile-phase rejection
+            # leaves it alive (retry the chunk split in half), but an
+            # execution failure consumes it — re-raise the real error
+            # instead of dereferencing a dead buffer through retries.
+            if hi - lo <= 1 or getattr(Lx, "is_deleted", lambda: False)():
                 raise
             # compiler rejected this chunk as one program: split and retry
             mid = (lo + hi) // 2
@@ -697,6 +899,17 @@ def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale,
     return Lx, minpiv, d
 
 
+def default_extend() -> str:
+    """Extend-add implementation for the current default backend: the
+    Pallas DMA window kernel on real TPUs, the portable XLA scatter
+    elsewhere (CPU test meshes, interpret-less hosts)."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return "scatter"
+    return "runs_pallas" if plat in ("tpu", "axon") else "scatter"
+
+
 def factorize(
     plan: FactorizePlan,
     Ax,
@@ -706,6 +919,7 @@ def factorize(
     scale: bool = False,
     check: bool = True,
     precision: str = "highest",
+    extend: str = "auto",
 ):
     """Numeric factorization of the matrix whose values are Ax (on the
     pattern/permutation the plan was compiled for).
@@ -717,15 +931,17 @@ def factorize(
     """
     if arrays is None:
         arrays = device_arrays(plan)
+    if extend == "auto":
+        extend = default_extend()
     dtype = jnp.dtype(plan.dtype)
     if len(arrays["meta"].value) > CHUNK_RUNS:
         Lx, minpiv, d = _factorize_chunked(
-            arrays, Ax, plan.R_L, dtype, backend, scale, precision
+            arrays, Ax, plan.R_L, dtype, backend, scale, precision, extend
         )
     else:
         Lx, minpiv, d = _factorize_jit(
             arrays, jnp.asarray(Ax), plan.R_L, dtype, backend, scale,
-            precision,
+            precision, extend,
         )
     if check:
         mp = np.asarray(minpiv)
@@ -768,7 +984,7 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
         )
 
     out = []
-    for kind, rb, _ug, _wm in iter_runs(arrays):
+    for kind, rb, _ug, _wm, _rc in iter_runs(arrays):
         if kind == "single":
             out.append(one(rb))
         else:

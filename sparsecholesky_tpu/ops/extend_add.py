@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for the extend-add window RMW.
+
+The Schur-complement extend-add is the memory-bound heart of sparse
+supernodal Cholesky (the reference's ``apply_update`` scatter,
+/root/reference/include/chol.hpp:1196-1216).  On TPU, XLA's row
+scatter-add runs at ~70-90 GB/s of RMW traffic; this kernel instead
+processes the plan-compiled *window table* (numeric._window_table): each
+window is RUN_TILE consecutive store rows that receive RUN_TILE
+consecutive rows of the update tensor C.  Per window, a pipelined DMA
+chain
+
+    HBM store rows  -> VMEM   (read)
+    HBM C rows      -> VMEM   (update tile)
+    VMEM            -> HBM    (write back  store - masked C)
+
+keeps RUN_NBUF windows in flight and reaches 80-260 GB/s depending on
+tile size (scripts_rmw_bench.py measurements on v5e).
+
+Correctness contract with the planner (numeric._hazard_schedule): any two
+windows whose store-row intervals overlap are scheduled >= RUN_NBUF apart.
+The kernel completes window r's write-back inside iteration r (the
+slot-reuse wait), so a window's read can never observe a conflicting
+predecessor's un-landed write.  Rows outside a window's valid range
+[uoff, uoff+len) contribute 0 and are written back unchanged; zero-length
+dummy windows aim at the dead store tail rows (plan.STORE_TAIL_PAD).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..plan import LANE, RUN_TILE  # noqa: F401  (RUN_TILE: default T)
+
+#: in-flight window pipeline depth; must equal numeric.RUN_NBUF
+NBUF = 4
+
+
+def _rmw_kernel(rstart_ref, rcoff_ref, rlen_ref, c_hbm, lx_ref, _out,
+                wscratch, uscratch, wsem, usem, *, nw: int, T: int):
+    """One sequential pass over the window table with an NBUF-deep DMA
+    pipeline (grid is (1,); TPU grids are sequential anyway and the manual
+    chain lets the scalar core race ahead issuing DMAs)."""
+
+    def w_in(slot, r):
+        return pltpu.make_async_copy(
+            lx_ref.at[pl.ds(rstart_ref[r], T)], wscratch.at[slot],
+            wsem.at[slot, 0],
+        )
+
+    def w_out(slot, r):
+        return pltpu.make_async_copy(
+            wscratch.at[slot], lx_ref.at[pl.ds(rstart_ref[r], T)],
+            wsem.at[slot, 1],
+        )
+
+    def u_in(slot, r):
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(rcoff_ref[r], T)], uscratch.at[slot],
+            usem.at[slot],
+        )
+
+    kk = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+
+    for k in range(min(NBUF, nw)):
+        w_in(k, k).start()
+        u_in(k, k).start()
+
+    def body(r, _):
+        slot = r % NBUF
+        packed = rlen_ref[r]
+        uoff = packed >> 8
+        vlen = packed & 0xFF
+        w_in(slot, r).wait()
+        u_in(slot, r).wait()
+        mask = (kk >= uoff) & (kk < uoff + vlen)
+        wscratch[slot] = wscratch[slot] - jnp.where(
+            mask, uscratch[slot], 0.0
+        )
+        w_out(slot, r).start()
+        # slot-reuse guard: the write-back must land before this slot's
+        # next read starts; it also orders conflicting windows >= NBUF
+        # apart (see module docstring)
+        w_out(slot, r).wait()
+
+        @pl.when(r + NBUF < nw)
+        def _():
+            w_in(slot, r + NBUF).start()
+            u_in(slot, r + NBUF).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, nw, body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def run_rmw(Lx, Cf, rstart, rcoff, rlen, *, T: int = RUN_TILE,
+            interpret: bool = False):
+    """Apply ``Lx[rstart[r] : rstart[r]+T] -= masked C rows`` for every
+    window r of the table, in table order.  Cf is the chunk's update
+    tensor reshaped to [NC, LANE] rows (NC >= T).  In-place on Lx
+    (donated via input/output aliasing)."""
+    nw = rstart.shape[0]
+    kern = functools.partial(_rmw_kernel, nw=nw, T=T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Cf stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Lx stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, T, LANE), Lx.dtype),
+            pltpu.VMEM((NBUF, T, LANE), Lx.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(Lx.shape, Lx.dtype),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(rstart, rcoff, rlen, Cf, Lx)

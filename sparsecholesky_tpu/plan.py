@@ -63,11 +63,24 @@ from .errors import SymbolicError
 from .symbolic import SymbolicFactor, analyze
 
 # Lane width of the block store (f32 vector lane count).  Supernodes wider
-# than LANE are stored SEGMENTED: logical block row i occupies
-# ceil(w/LANE) consecutive store rows (see panel addressing in numeric.py),
-# so dense separators factor as single tall panels instead of chains of
-# 128-column chunks exchanging Schur updates through the store.
+# than LANE are stored SEGMENTED *segment-major*: lane segment k (columns
+# [k*LANE, (k+1)*LANE) of the supernode) occupies m consecutive store rows
+# at row_off[s] + k*m + i, so dense separators factor as single tall
+# panels instead of chains of 128-column chunks exchanging Schur updates
+# through the store.  Segment-major (rather than interleaving a logical
+# row's segments) makes every Schur-update target a STRIDE-1 row run:
+# consecutive positions within one (ancestor, segment) owner are
+# consecutive store rows regardless of the ancestor's width, which is what
+# lets the extend-add execute as contiguous run RMW instead of row
+# scatter-add (see numeric.apply_schur_update / ops/extend_add.py).
 LANE = 128
+
+# Dead store rows appended past the last supernode block so run-granular
+# RMW windows (ops/extend_add.py) may safely overrun block boundaries by
+# up to one run tile.  These rows are ordinary dead rows: they stay zero
+# (only ever receive masked +0), and the out-of-bounds sentinel row index
+# R_L stays one past the allocation as before.
+STORE_TAIL_PAD = 256
 
 # Padding tiers. Second-to-last dim of a f32 tile is 8; lane dim 128.
 # Profiles trade padding waste (issued flops) against step-shape diversity
@@ -115,6 +128,63 @@ def _pad_mb(mb: int, tiers=_PAD_PROFILES["fine"][1], coarse: int = 512) -> int:
 # Tile edge for the extend-add i-dimension; must match numeric.UPDATE_TILE.
 _UPDATE_TILE = 512
 
+# Default row length of one extend-add RMW window (ops/extend_add.py).
+# Runs of consecutive update-target store rows are chunked into windows of
+# run_tile rows; the window DMA is run_tile x 128 regardless of the run's
+# true length (tail rows add 0).  The per-plan tile is selected from the
+# run-length histogram by _select_run_tile; the kernel is DMA-issue-bound
+# at ~(250 + 4*T) ns/window (scripts_rmw_bench.py measurements on v5e), so
+# small matrices favor small tiles and long-run large matrices favor
+# 32-64.
+RUN_TILE = 16
+
+#: run-tile candidates (must all divide/fit STORE_TAIL_PAD)
+_RUN_TILES = (8, 16, 24, 32, 48, 64)
+
+
+def _select_run_tile(levels) -> int:
+    """Pick the extend-add window length minimizing the modeled kernel
+    time nwindows(T) * (250 + 4*T) ns over the plan's run lengths."""
+    lens = []
+    for lev in levels:
+        for b in lev:
+            if b.runs_raw is not None and len(b.runs_raw):
+                lens.append(b.runs_raw[:, 3].astype(np.int64))
+    if not lens:
+        return RUN_TILE
+    lens = np.concatenate(lens)
+    best, best_cost = RUN_TILE, np.inf
+    for T in _RUN_TILES:
+        cost = int(np.sum(-(-lens // T))) * (250 + 4 * T)
+        if cost < best_cost:
+            best, best_cost = T, cost
+    return best
+
+# Extend-add einsum transient cap per chunk (bytes); shared by the plan's
+# run-table chunking and numeric.apply_schur_update.
+C_CAP = 192 * 2**20
+
+
+def update_chunks(B: int, mb_pad: int, g_pad: int, utile_g, itemsize: int):
+    """The static (i-tile, batch-chunk) decomposition of one bucket's Schur
+    update, shared verbatim between the einsum execution
+    (numeric.apply_schur_update) and the run-table compiler (the rcoff
+    layout of each chunk's C transient depends on it).
+
+    Yields (ti, i0, i1, gt, b0, b1) with C chunk shape [b1-b0, gt, i1-i0,
+    LANE] laid out row-major."""
+    ntiles = -(-mb_pad // _UPDATE_TILE)
+    if not utile_g:
+        utile_g = (g_pad,) * ntiles
+    for ti in range(ntiles):
+        i0 = ti * _UPDATE_TILE
+        i1 = min(mb_pad, i0 + _UPDATE_TILE)
+        gt = min(int(utile_g[ti]), g_pad)
+        per_b = gt * (i1 - i0) * LANE * itemsize
+        bchunk = max(1, min(B, C_CAP // max(per_b, 1)))
+        for b0 in range(0, B, bchunk):
+            yield ti, i0, i1, gt, b0, min(B, b0 + bchunk)
+
 
 def _pad_g(g: int) -> int:
     for t in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
@@ -154,6 +224,14 @@ class Bucket:
     # tile and their C slice is never computed (kills the triangle + G
     # padding waste of the extend-add)
     utile_g: tuple = ()
+    # raw update-target runs, host-only (compiled into per-chunk hazard-
+    # scheduled window tables by numeric.build_runs, whose chunk layout
+    # depends on scan-group-wide utile_g maxima): int32[nr, 5] rows of
+    # (bsrc, g, i_start, length, rstart) — a maximal stretch of below rows
+    # i_start..i_start+length-1 whose owner positions are consecutive, so
+    # their updates land at consecutive store rows rstart.., all within one
+    # UPDATE_TILE i-tile.  Stride is always 1 (segment-major store).
+    runs_raw: np.ndarray | None = None
 
     @property
     def batch(self) -> int:
@@ -197,6 +275,7 @@ class FactorizePlan:
     diag_map: np.ndarray      # int32[n] -> index of A(i,i) in original Ax
     levels: list[list[Bucket]]
     dtype: np.dtype
+    run_tile: int = RUN_TILE  # extend-add RMW window rows (_select_run_tile)
 
     @property
     def ns(self) -> int:
@@ -215,12 +294,18 @@ class FactorizePlan:
         return self.R_L * LANE * self.dtype.itemsize
 
     def block(self, Lx2d: np.ndarray, s: int) -> np.ndarray:
-        """Host view of supernode s's (m x w) block from the 2D store."""
+        """Host view of supernode s's (m x w) block from the 2D store
+        (segment-major: segment k occupies rows [r0 + k*m, r0 + (k+1)*m))."""
         r0 = int(self.row_off[s])
         m = int(self.block_m[s])
         w = int(self.block_w[s])
         nseg = int(self.block_nseg[s])
-        rows = np.asarray(Lx2d[r0 : r0 + m * nseg]).reshape(m, nseg * LANE)
+        rows = (
+            np.asarray(Lx2d[r0 : r0 + m * nseg])
+            .reshape(nseg, m, LANE)
+            .transpose(1, 0, 2)
+            .reshape(m, nseg * LANE)
+        )
         return rows[:, :w]
 
     def extract_csc(self, Lx2d: np.ndarray, row_scale: np.ndarray | None = None
@@ -325,7 +410,7 @@ def compile_plan(
     block_rows = block_m * block_nseg
     row_off = np.zeros(ns, dtype=np.int64)
     np.cumsum(block_rows[:-1], out=row_off[1:])
-    R_L = int(block_rows.sum())
+    R_L = int(block_rows.sum()) + STORE_TAIL_PAD
     if R_L + 2 >= np.iinfo(np.int32).max:
         raise SymbolicError(
             f"block store of {R_L} rows exceeds int32 addressing; "
@@ -351,8 +436,8 @@ def compile_plan(
 
     # ---- entry scatter map: original A entry -> store (row, lane) -------
     # Entry (lo, hi) of the permuted upper pattern is L(hi, lo): owner
-    # supernode t = sn_id[lo];
-    # row = row_off[t] + pos(hi)*nseg_t + jloc//LANE, lane = jloc % LANE.
+    # supernode t = sn_id[lo]; segment-major addressing:
+    # row = row_off[t] + (jloc//LANE)*m_t + pos(hi), lane = jloc % LANE.
     lo = pAi.astype(np.int64)
     hi = np.repeat(np.arange(n, dtype=np.int64), np.diff(pAp))
     t = S.sn_id[lo].astype(np.int64)
@@ -362,7 +447,7 @@ def compile_plan(
     entry_lane = np.empty(A.nnz, dtype=np.int64)
     entry_plo = np.empty(A.nnz, dtype=np.int64)
     entry_phi = np.empty(A.nnz, dtype=np.int64)
-    entry_row[pAe] = row_off[t] + pos * block_nseg[t] + jloc // LANE
+    entry_row[pAe] = row_off[t] + (jloc // LANE) * block_m[t] + pos
     entry_lane[pAe] = jloc % LANE
     entry_plo[pAe] = lo
     entry_phi[pAe] = hi
@@ -412,6 +497,7 @@ def compile_plan(
         diag_map=diag_map,
         levels=levels_out,
         dtype=np.dtype(dtype or A.data.dtype),
+        run_tile=_select_run_tile(levels_out),
     )
 
 
@@ -471,6 +557,7 @@ def _build_bucket(
     ustride = np.ones((B, G_pad), dtype=np.int64)
     uj0 = np.full((B, G_pad), mb_pad, dtype=np.int64)  # pad: mask everything
     uG = np.zeros(B, dtype=np.int64)
+    run_rows: list[np.ndarray] = []
     for b, br, tgt, jloc, keys, distinct in per_sn:
         mbb = len(br)
         G = len(distinct)
@@ -479,13 +566,36 @@ def _build_bucket(
         ujloc_a[b, :mbb] = jloc % LANE
         dt = distinct // segbound          # owner supernode of each group
         dseg = distinct % segbound         # owner lane segment
-        urow0[b, :G] = row_off[dt] + dseg
-        ustride[b, :G] = block_nseg[dt]
+        # segment-major store: owner segment dseg starts m_t rows into the
+        # owner's block, and consecutive positions are consecutive store
+        # rows (stride 1) for every owner width
+        urow0[b, :G] = row_off[dt] + dseg * block_m[dt]
+        ustride[b, :G] = 1
         uj0[b, :G] = np.searchsorted(keys, distinct)
         # position of every below row within every distinct owner's rows
         q = (dt[None, :] * n + br[:, None]).ravel()
         g = np.searchsorted(K, q).reshape(mbb, G)
         up[b, :mbb, :G] = g - sn_row_off[dt][None, :]
+
+        # raw runs: per owner group, maximal stretches of consecutive
+        # positions (== consecutive store rows), split at i-tile edges
+        for gi in range(G):
+            j0 = int(uj0[b, gi])
+            if j0 >= mbb:
+                continue
+            pos = up[b, j0:mbb, gi]
+            ii = np.arange(j0 + 1, mbb)
+            brk = (np.diff(pos) != 1) | (ii % _UPDATE_TILE == 0)
+            st = np.concatenate([[0], np.flatnonzero(brk) + 1])
+            en = np.concatenate([st[1:], [mbb - j0]])
+            nr = len(st)
+            rr = np.empty((nr, 5), dtype=np.int64)
+            rr[:, 0] = b
+            rr[:, 1] = gi
+            rr[:, 2] = j0 + st
+            rr[:, 3] = en - st
+            rr[:, 4] = urow0[b, gi] + pos[st]
+            run_rows.append(rr)
 
     # per-i-tile owner-group bound (owners sorted by uj0 within a panel)
     tile = _UPDATE_TILE
@@ -515,4 +625,8 @@ def _build_bucket(
         uj0=uj0.astype(INDEX_DTYPE),
         uG=uG.astype(INDEX_DTYPE),
         utile_g=tuple(utile_g),
+        runs_raw=(
+            np.concatenate(run_rows).astype(INDEX_DTYPE)
+            if run_rows else np.zeros((0, 5), dtype=INDEX_DTYPE)
+        ),
     )

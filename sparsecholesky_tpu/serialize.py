@@ -22,7 +22,7 @@ from .csc import INDEX_DTYPE
 from .plan import Bucket, FactorizePlan
 from .symbolic import SymbolicFactor
 
-_FORMAT_VERSION = 4
+_FORMAT_VERSION = 5  # v5: segment-major store layout for wide supernodes
 
 
 def _bucket_fields(b: Bucket) -> dict:
@@ -39,7 +39,8 @@ def _bucket_fields(b: Bucket) -> dict:
     if b.ug is not None:
         out.update(ug=b.ug, ujloc=b.ujloc, up=b.up, urow0=b.urow0,
                    ustride=b.ustride, uj0=b.uj0, uG=b.uG,
-                   utile_g=np.asarray(b.utile_g, dtype=np.int64))
+                   utile_g=np.asarray(b.utile_g, dtype=np.int64),
+                   runs_raw=b.runs_raw)
     return out
 
 
@@ -61,6 +62,7 @@ def save_plan(path: str, plan: FactorizePlan) -> None:
         "format_version": np.int64(_FORMAT_VERSION),
         "n": np.int64(plan.n),
         "R_L": np.int64(plan.R_L),
+        "run_tile": np.int64(plan.run_tile),
         "dtype": np.frombuffer(str(plan.dtype).encode(), dtype=np.uint8),
         "perm": plan.perm,
         "iperm": plan.iperm,
@@ -169,6 +171,7 @@ def load_plan(path: str) -> FactorizePlan:
                         tuple(int(v) for v in z[pre + "utile_g"])
                         if has_upd else ()
                     ),
+                    runs_raw=z[pre + "runs_raw"] if has_upd else None,
                 )
             )
         levels.append(bl)
@@ -189,4 +192,5 @@ def load_plan(path: str) -> FactorizePlan:
         diag_map=z["diag_map"],
         levels=levels,
         dtype=np.dtype(bytes(z["dtype"]).decode()),
+        run_tile=int(z["run_tile"]),
     )

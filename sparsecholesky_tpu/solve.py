@@ -90,7 +90,7 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
         z = _lsolve(D, t, transpose=True)
         return x.at[cidx].set(z, mode="drop")
 
-    runs = [(k, rb) for k, rb, _u, _wm in iter_runs(arrays)]
+    runs = [(k, rb) for k, rb, _u, _wm, _rc in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)
 
     # ---- forward: L y = b ----
@@ -149,7 +149,7 @@ def _sweep_chunk(arrays, Lx, vec, d, linv, n, R_L, dtype, lo, hi, forward,
 
 def _sweep_impl(arrays, Lx, vec, d, *, n, R_L, dtype, linv, forward, first):
     """One direction of the solve over the runs in ``arrays`` only."""
-    runs = [(k, rb) for k, rb, _u, _wm in iter_runs(arrays)]
+    runs = [(k, rb) for k, rb, _u, _wm, _rc in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)
     fstep, bstep = _make_steps(arrays, Lx, n, R_L, dtype)
     if first and forward:

@@ -1,0 +1,121 @@
+"""Extend-add window-table path: equality with the scatter path, hazard
+scheduler invariants, window-table consistency.
+
+The Pallas kernel itself (ops/extend_add.py) only compiles on real TPUs;
+its semantics are pinned here through the runs_xla mode, which reproduces
+the kernel's exact summation grouping with XLA gathers/scatters (the
+TPU-side bitwise kernel-vs-runs_xla equality is exercised by the bench /
+smoke scripts on hardware).
+"""
+
+import numpy as np
+import pytest
+
+from sparsecholesky_tpu.models.generators import (
+    poisson2d,
+    poisson3d,
+    random_sparse,
+)
+from sparsecholesky_tpu.ordering import compute_ordering
+from sparsecholesky_tpu.plan import compile_plan, update_chunks
+from sparsecholesky_tpu import numeric
+
+
+def _factor_dense(plan, A, extend):
+    arrays = numeric.device_arrays(plan)
+    Lx, _d = numeric.factorize(plan, A.data, arrays=arrays, extend=extend)
+    L = plan.extract_csc(np.asarray(Lx))
+    return np.asarray(Lx), L
+
+
+@pytest.mark.parametrize(
+    "mk",
+    [
+        lambda: (poisson2d(16), None),
+        lambda: (poisson3d(8), (8, 8, 8)),
+        lambda: (random_sparse(150, 0.08), None),
+    ],
+)
+def test_runs_matches_scatter(mk):
+    A, gs = mk()
+    perm = compute_ordering(A, "nd-grid" if gs else "natural", grid_shape=gs)
+    plan = compile_plan(A, perm=perm, dtype=np.float32)
+    Lx_s, L_s = _factor_dense(plan, A, "scatter")
+    Lx_r, L_r = _factor_dense(plan, A, "runs_xla")
+    # both are valid factorizations of P A P^T at fp32 tolerance
+    PAP = A.to_scipy().tocsr()[perm][:, perm]
+    R = L_r.to_scipy() @ L_r.to_scipy().T - PAP
+    assert abs(R).max() < 1e-3 * abs(A.data).max()
+    # the two extend paths apply identical update sets (summation order
+    # may differ, so compare to fp32 round-off, not bitwise)
+    assert np.allclose(Lx_s, Lx_r, rtol=2e-5, atol=2e-5)
+
+
+def test_window_table_covers_all_updates():
+    """Expanded windows must hit exactly the (row, C-row) pairs the up
+    maps describe: every valid (i, g) update row appears exactly once."""
+    A = poisson2d(12)
+    plan = compile_plan(A, dtype=np.float32)
+    T = plan.run_tile
+    itemsize = plan.dtype.itemsize
+    for lev in plan.levels:
+        for b in lev:
+            if b.up is None:
+                continue
+            rs, rc, rl, counts, _ncs = numeric._window_table(
+                b, b.utile_g, 10**9, itemsize, T
+            )
+            # collect (store_row, chunk_idx, c_row) from windows
+            got = set()
+            off = 0
+            for ci, (ti, i0, i1, gt, b0, b1) in enumerate(update_chunks(
+                    b.batch, b.mb_pad, b.g_pad, b.utile_g, itemsize)):
+                cnt = counts[ci]
+                tlen = i1 - i0
+                for wj in range(off, off + cnt):
+                    uoff, vlen = int(rl[wj]) >> 8, int(rl[wj]) & 0xFF
+                    for k in range(uoff, uoff + vlen):
+                        crow = int(rc[wj]) + k
+                        # decode c row -> (bsrc, g, i)
+                        bg, irel = divmod(crow, tlen)
+                        bs, g = divmod(bg, gt)
+                        got.add((int(rs[wj]) + k, bs + b0, g, irel + i0))
+                off += cnt
+            want = set()
+            for kb in range(b.batch):
+                mb = int(b.mb[kb])
+                for g in range(int(b.uG[kb])):
+                    j0 = int(b.uj0[kb, g])
+                    for i in range(j0, mb):
+                        row = int(b.urow0[kb, g]) + int(b.up[kb, i, g])
+                        want.add((row, kb, g, i))
+            assert got == want
+
+
+def test_hazard_schedule_spacing():
+    rng = np.random.default_rng(0)
+    T = 16
+    n = 4000
+    # adversarial: many windows crowded into a small row range
+    ws = rng.integers(0, 400, size=n).astype(np.int64)
+    wc = np.arange(n, dtype=np.int64)
+    wl = np.full(n, T, dtype=np.int64)
+    s, c, l = numeric._hazard_schedule(ws, wc, wl, 10**6, 0, T)
+    nbuf = numeric.RUN_NBUF
+    real = l != 0
+    for d in range(1, nbuf):
+        a, bb = s[d:], s[:-d]
+        m = real[d:] & real[:-d]
+        assert (np.abs(a[m] - bb[m]) >= T).all()
+    # all real windows survive with payload intact
+    kept = sorted(zip(s[real].tolist(), c[real].tolist()))
+    orig = sorted(zip(ws.tolist(), wc.tolist()))
+    assert kept == orig
+
+
+def test_run_tile_selection_bounds():
+    A = poisson2d(16)
+    plan = compile_plan(A, dtype=np.float32)
+    from sparsecholesky_tpu.plan import _RUN_TILES
+
+    assert plan.run_tile in _RUN_TILES
