@@ -75,6 +75,12 @@ def run_bench(
     import jax.numpy as jnp
 
     Ax = jnp.asarray(A.data)
+
+    def sync(x):
+        # block_until_ready does not actually wait on the axon backend
+        # (CLAUDE.md); a tiny host readback is the reliable barrier.
+        float(jnp.sum(x[:8]))
+
     # Big stores (GiB-class at ~1M rows) cannot hold several pipelined
     # factorizations in HBM at once: drop the initial factor, run strictly
     # one at a time, and reinstate the (identical) factor afterwards.
@@ -83,18 +89,21 @@ def run_bench(
         F.Lx = None
         F._linv = None
     Lx = None
-    _numeric.factorize(F.plan, Ax, arrays=F.arrays, scale=scale,
-                       check=False)  # warm
+    warm, _ = _numeric.factorize(F.plan, Ax, arrays=F.arrays, scale=scale,
+                                 check=False)  # warm
+    sync(warm)
+    if big:
+        del warm
     K = 3 if big else max(repeats, 8)
     t0 = time.time()
     for _ in range(K):
         if big and Lx is not None:
-            Lx.block_until_ready()
+            sync(Lx)
             del Lx  # free the previous store before dispatching the next
         Lx, _d = _numeric.factorize(
             F.plan, Ax, arrays=F.arrays, scale=scale, check=False
         )
-    Lx.block_until_ready()
+    sync(Lx)
     best = (time.time() - t0) / K
     if big:
         F.Lx = Lx
@@ -107,7 +116,7 @@ def run_bench(
         Lx, _d = _numeric.factorize(
             F.plan, Ax, arrays=F.arrays, scale=scale, check=False
         )
-        Lx.block_until_ready()
+        sync(Lx)
         single = time.time() - t0
 
     flops = F.plan.true_flops()

@@ -54,7 +54,15 @@ def amd(A: CSCMatrix) -> np.ndarray:
 
             return _native.amd_order(A)
         except Exception:
-            pass
+            import warnings
+
+            warnings.warn(
+                f"native AMD engine unavailable; falling back to the "
+                f"quadratic-ish Python AMD for n={A.n} (this can take "
+                f"hours on large matrices — check the native/ build)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     import heapq
 
     n = A.n

@@ -50,45 +50,9 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
         rhs = rhs[:, None]
     y = rhs[perm] * d[:, None]  # permuted + equilibrated RHS, [n, k]
 
-    def _lsolve(D, t, transpose):
-        # t: [B, w_pad, k]
-        if linv is not None:
-            eq = "bji,bjk->bik" if transpose else "bij,bjk->bik"
-            return jnp.einsum(eq, D, t, preferred_element_type=dtype)
-        return jax.lax.linalg.triangular_solve(
-            D, t, left_side=True, lower=True, transpose_a=transpose
-        )
-
-    def fstep(y, b, Dinv):
-        w_pad = b.w_pad
-        P = gather_panels(Lx, b, R_L)
-        D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
-        cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
-        ycols = jnp.take(y, cidx, axis=0, mode="fill", fill_value=0)
-        z = _lsolve(D, ycols, transpose=False)
-        y = y.at[cidx].set(z, mode="drop")
-        if b.mb_pad:
-            L21 = P[:, w_pad:, :]
-            u = jnp.einsum("bij,bjk->bik", L21, z,
-                           preferred_element_type=dtype)
-            bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
-            y = y.at[bidx].add(-u, mode="drop")
-        return y
-
-    def bstep(x, b, Dinv):
-        w_pad = b.w_pad
-        P = gather_panels(Lx, b, R_L)
-        D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
-        cidx = jnp.where(b.col_idx < 0, n, b.col_idx)
-        t = jnp.take(x, cidx, axis=0, mode="fill", fill_value=0)
-        if b.mb_pad:
-            L21 = P[:, w_pad:, :]
-            bidx = jnp.where(b.below_idx < 0, n, b.below_idx)
-            xb = jnp.take(x, bidx, axis=0, mode="fill", fill_value=0)
-            t = t - jnp.einsum("bij,bik->bjk", L21, xb,
-                               preferred_element_type=dtype)
-        z = _lsolve(D, t, transpose=True)
-        return x.at[cidx].set(z, mode="drop")
+    # one shared definition of the sweep kernels (advisor: the inline
+    # copies here and _make_steps used to duplicate line-for-line)
+    fstep, bstep = _make_steps(arrays, Lx, n, R_L, dtype)
 
     runs = [(k, rb) for k, rb, _u, _wm, _rc in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)

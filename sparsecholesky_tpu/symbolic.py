@@ -376,33 +376,6 @@ def supernode_rows(
     return out
 
 
-def split_wide_supernodes(
-    sn_ptr: np.ndarray, sn_rows: list[np.ndarray], max_width: int
-) -> tuple[np.ndarray, list[np.ndarray]]:
-    """Split supernodes wider than ``max_width`` into column chunks.
-
-    The fundamental partition (and the dense tail of any matrix) can
-    produce supernodes far wider than the 128-lane panel limit; chunk k of
-    a split supernode takes columns [c0 + k*W, ...) and the row-set suffix
-    from position k*W (a supernode's first w rows are exactly its own
-    columns, so dropping them yields the correct sub-panel row union).
-    Chunk k+1 becomes chunk k's assembly-tree parent by construction.
-    """
-    starts, rows_out = [], []
-    for s in range(len(sn_ptr) - 1):
-        c0, c1 = int(sn_ptr[s]), int(sn_ptr[s + 1])
-        w = c1 - c0
-        if w <= max_width:
-            starts.append(c0)
-            rows_out.append(sn_rows[s])
-            continue
-        for k in range(0, w, max_width):
-            starts.append(c0 + k)
-            rows_out.append(sn_rows[s][k:])
-    starts.append(int(sn_ptr[-1]))
-    return np.asarray(starts, dtype=np.int64), rows_out
-
-
 def assembly_tree(
     sn_ptr: np.ndarray, sn_rows: list[np.ndarray], sn_id: np.ndarray
 ) -> np.ndarray:
