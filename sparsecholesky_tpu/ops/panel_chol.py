@@ -96,7 +96,9 @@ def panel_cholesky(P: jax.Array, w_pad: int, *, interpret: bool | None = None):
     B, m_pad, w = P.shape
     assert w == w_pad
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # compile for Mosaic on any real TPU backend (the axon tunnel
+        # reports platform "axon", not "tpu"); interpret elsewhere
+        interpret = jax.default_backend() not in ("tpu", "axon")
 
     kernel = functools.partial(_panel_kernel, w_pad=w_pad, m_pad=m_pad)
     flops = B * (w_pad * w_pad * (w_pad // 3 + (m_pad - w_pad)))

@@ -119,12 +119,18 @@ def subtree_partition(plan: FactorizePlan, ndev: int, expand: int = 4):
     return owner, is_top
 
 
-def _deal_bucket(b, per_chip: list[np.ndarray], ndev: int, chunks, offs):
+def _deal_bucket(b, per_chip: list[np.ndarray], ndev: int, chunks, offs,
+                 slots=None):
     """Pack one plan bucket into [ndev, Bd, ...] arrays following the given
     per-chip index lists (into the bucket's batch axis), dead-padding chips
-    with fewer supernodes.  Appends to the flat chunks; returns the static
+    with fewer supernodes.  Appends to the flat chunks (and each chip's
+    pivot-slot -> supernode map to ``slots``); returns the static
     (spec, utile_g)."""
     Bd = max(len(p) for p in per_chip)
+    if slots is not None:
+        for c in range(ndev):
+            ids = [int(b.sn_ids[k]) for k in per_chip[c]]
+            slots[c].extend(ids + [-1] * (Bd - len(ids)))
     fills = dict(row0=0, w=0, mb=0, col_idx=-1, below_idx=-1,
                  ug=0, ujloc=0, up=0, urow0=0, ustride=1,
                  uj0=b.mb_pad, uG=0)
@@ -193,6 +199,7 @@ def shard_plan(plan: FactorizePlan, ndev: int, strategy: str = "subtree"):
     offs = {f: 0 for f in _FIELDS}
     xchunks = []          # concatenated psum row sets
     xoff = 0
+    slots: list[list[int]] = [[] for _ in range(ndev)]  # pivot -> supernode
 
     def push_xrows(rowlists) -> tuple[int, int]:
         nonlocal xoff
@@ -218,7 +225,7 @@ def shard_plan(plan: FactorizePlan, ndev: int, strategy: str = "subtree"):
             for b in lev:
                 rr = np.arange(b.batch)
                 per = [rr[rr % ndev == c] for c in range(ndev)]
-                lmeta.append(_deal_bucket(b, per, ndev, chunks, offs))
+                lmeta.append(_deal_bucket(b, per, ndev, chunks, offs, slots))
             meta.append((tuple(lmeta), span))
         static = ("wavefront", tuple(meta))
         ownrow = None
@@ -236,7 +243,8 @@ def shard_plan(plan: FactorizePlan, ndev: int, strategy: str = "subtree"):
                 if not len(loc):
                     continue
                 per = [loc[own[loc] == c] for c in range(ndev)]
-                local_meta.append(_deal_bucket(b, per, ndev, chunks, offs))
+                local_meta.append(
+                    _deal_bucket(b, per, ndev, chunks, offs, slots))
                 # frontier rows: local updates hitting top supernodes
                 for rows in _bucket_update_rows(b, loc):
                     t = np.searchsorted(row_off, rows, side="right") - 1
@@ -254,7 +262,7 @@ def shard_plan(plan: FactorizePlan, ndev: int, strategy: str = "subtree"):
                 rowlists += _bucket_panel_rows(b, topk)
                 rowlists += _bucket_update_rows(b, topk)
                 per = [topk[topk % ndev == c] for c in range(ndev)]
-                lmeta.append(_deal_bucket(b, per, ndev, chunks, offs))
+                lmeta.append(_deal_bucket(b, per, ndev, chunks, offs, slots))
             if lmeta:
                 top_meta.append((tuple(lmeta), push_xrows(rowlists)))
         static = ("subtree", tuple(local_meta), fr_span, tuple(top_meta))
@@ -280,6 +288,7 @@ def shard_plan(plan: FactorizePlan, ndev: int, strategy: str = "subtree"):
             np.concatenate(xchunks) if xchunks else np.zeros(0, np.int32)
         ),
         "meta": _Static(static),
+        "sn_slots": _Static(tuple(tuple(c) for c in slots)),
         "entry_row": jnp.asarray(plan.entry_row.astype(np.int32)),
         "entry_lane": jnp.asarray(plan.entry_lane.astype(np.int32)),
         "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
@@ -405,6 +414,7 @@ def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
         "xrows": P(),
         # _Static carries no array leaves; a vacuous leaf spec suffices
         "meta": P(),
+        "sn_slots": P(),
         "entry_row": P(),
         "entry_lane": P(),
         "entry_plo": P(),
@@ -435,7 +445,20 @@ def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
     if check:
         mp = np.asarray(minpiv)
         if mp.size and not (mp > 0).all():
-            raise NotPositiveDefiniteError(pivot=float(mp.min()))
+            # localize: pivots arrive chip-major in _deal_bucket slot order
+            sn_slots = arrays["sn_slots"].value
+            bad = int(np.argmax(mp <= 0))
+            nslot = len(sn_slots[0]) if sn_slots else 0
+            s = (sn_slots[bad // nslot][bad % nslot]
+                 if nslot and bad // nslot < len(sn_slots) else -1)
+            kw = dict(pivot=float(mp[bad]))
+            if s >= 0:
+                kw.update(
+                    supernode=s,
+                    column_range=(int(plan.S.sn_ptr[s]),
+                                  int(plan.S.sn_ptr[s + 1])),
+                )
+            raise NotPositiveDefiniteError(**kw)
     return Lx, d
 
 
