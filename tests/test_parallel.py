@@ -88,3 +88,80 @@ def test_sharded_non_pd(mesh8):
     plan = compile_plan(A)
     with pytest.raises(sc.NotPositiveDefiniteError):
         shard.factorize_sharded(plan, A.data, mesh8)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned store (round 2): per-chip memory = top region + owned subtrees
+
+
+def _check_partitioned(A, mesh, extend="scatter", **kw):
+    from sparsecholesky_tpu.parallel import pstore
+    from sparsecholesky_tpu import numeric
+
+    plan = compile_plan(A)
+    Lx_s, lay, d = pstore.factorize_partitioned(
+        plan, A.data, mesh, extend=extend, **kw
+    )
+    full = pstore.gather_full(plan, Lx_s, lay)
+    Lx1, d1 = numeric.factorize(
+        plan, A.data, extend="scatter",
+        **{k: v for k, v in kw.items() if k == "scale"},
+    )
+    np.testing.assert_allclose(
+        full, np.asarray(Lx1),
+        atol=1e-10 * max(1.0, float(np.abs(np.asarray(Lx1)).max())),
+    )
+    return plan, lay
+
+
+def test_partitioned_matches_single_bcsstk01(bcsstk01, mesh8):
+    _check_partitioned(bcsstk01, mesh8)
+
+
+def test_partitioned_matches_single_poisson(mesh8):
+    A = generators.poisson2d(12)
+    _check_partitioned(A, mesh8)
+
+
+def test_partitioned_runs_extend_matches(mesh8):
+    A = generators.poisson2d(12)
+    _check_partitioned(A, mesh8, extend="runs_xla")
+
+
+def test_partitioned_scale_matches(bcsstk01, mesh8):
+    _check_partitioned(bcsstk01, mesh8, scale=True)
+
+
+def test_partitioned_store_actually_partitions(mesh8):
+    """VERDICT round-1 item 3: per-device store bytes must scale as
+    R_top + R_L/ndev + pad, not R_L."""
+    from sparsecholesky_tpu.parallel import pstore
+    from sparsecholesky_tpu.plan import STORE_TAIL_PAD
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson2d(32)
+    plan = compile_plan(A, perm=nd_grid((32, 32)))
+    lay = pstore.build_layout(plan, 8)
+    owned_rows = [
+        int(lay.nrows_of[lay.owner == c].sum()) for c in range(8)
+    ]
+    assert lay.R_local == lay.R_top + max(owned_rows) + STORE_TAIL_PAD
+    # the partitioned store must be materially smaller than replication
+    assert lay.R_local < 0.55 * plan.R_L
+    # and every block must live somewhere exactly once (plus top copies)
+    total_owned = sum(owned_rows)
+    assert total_owned + lay.R_top == plan.R_L - STORE_TAIL_PAD
+
+
+def test_partitioned_nonpd_localized(mesh8):
+    from sparsecholesky_tpu.parallel import pstore
+    from sparsecholesky_tpu.errors import NotPositiveDefiniteError
+
+    A = generators.poisson2d(12)
+    A2 = A.copy() if hasattr(A, "copy") else A
+    data = A.data.copy()
+    data[A.data == 4.0] = -4.0
+    plan = compile_plan(A)
+    with pytest.raises(NotPositiveDefiniteError) as ei:
+        pstore.factorize_partitioned(plan, data, mesh8)
+    assert ei.value.supernode is not None
