@@ -294,12 +294,13 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
                 s = int(b.sn_ids[i])
                 r0 = int(lay.local_start[0, s])
                 rowlists.append(np.arange(r0, r0 + int(lay.nrows_of[s])))
-            cb0 = cbs[0]
-            rrr = cb0.runs_raw
-            if rrr is not None and len(rrr):
-                T = plan.run_tile
-                for st, ln in zip(rrr[:, 4], rrr[:, 3]):
-                    rowlists.append(np.arange(st, st + ln))
+            # update-target rows from EVERY chip's runs (the top region is
+            # addressed identically on all chips)
+            for cb in cbs:
+                rrr = cb.runs_raw
+                if rrr is not None and len(rrr):
+                    for st, ln in zip(rrr[:, 4], rrr[:, 3]):
+                        rowlists.append(np.arange(st, st + ln))
         if lmeta:
             xrows = (np.unique(np.concatenate(rowlists)).astype(np.int32)
                      if rowlists else np.zeros(0, np.int32))
@@ -510,3 +511,143 @@ def gather_full(plan: FactorizePlan, Lx_sharded, layout: StoreLayout
 
 def per_chip_bytes(layout: StoreLayout, itemsize: int = 4) -> int:
     return layout.R_local * LANE * itemsize
+
+
+# ---------------------------------------------------------------------------
+# Partitioned sharded SpTRSV (VERDICT round-1 item 5)
+#
+# The solution vector stays replicated ([n, k] is tiny next to the factor),
+# so distribution is about reading panels from the LOCAL store:
+#   forward:  each chip sweeps its own subtree supernodes (sets on owned
+#             columns, adds into ancestor entries — owned-or-top, both
+#             chip-local); ONE psum of (y - y_init) merges everything
+#             (untouched entries have zero delta); the top forward then
+#             runs redundantly on every chip's identical top region copy
+#             (communication-free).
+#   backward: top backward redundant, then each chip back-solves its own
+#             subtrees (below reads hit owned-or-top entries only).
+#   assembly: owner-masked psum over columns (top columns from chip 0).
+
+
+def _solve_steps(arrays, Lx, n, R_local, dtype):
+    def fstep(y, bl):
+        w_pad = bl.w_pad
+        Pn = gather_panels(Lx, bl, R_local)
+        D = jnp.tril(Pn[:, :w_pad, :])
+        cidx = jnp.where(bl.col_idx < 0, n, bl.col_idx)
+        ycols = jnp.take(y, cidx, axis=0, mode="fill", fill_value=0)
+        z = jax.lax.linalg.triangular_solve(
+            D, ycols, left_side=True, lower=True
+        )
+        y = y.at[cidx].set(z, mode="drop")
+        if bl.mb_pad:
+            L21 = Pn[:, w_pad:, :]
+            u = jnp.einsum("bij,bjk->bik", L21, z,
+                           preferred_element_type=dtype)
+            bidx = jnp.where(bl.below_idx < 0, n, bl.below_idx)
+            y = y.at[bidx].add(-u, mode="drop")
+        return y
+
+    def bstep(x, bl):
+        w_pad = bl.w_pad
+        Pn = gather_panels(Lx, bl, R_local)
+        D = jnp.tril(Pn[:, :w_pad, :])
+        cidx = jnp.where(bl.col_idx < 0, n, bl.col_idx)
+        t = jnp.take(x, cidx, axis=0, mode="fill", fill_value=0)
+        if bl.mb_pad:
+            L21 = Pn[:, w_pad:, :]
+            bidx = jnp.where(bl.below_idx < 0, n, bl.below_idx)
+            xb = jnp.take(x, bidx, axis=0, mode="fill", fill_value=0)
+            t = t - jnp.einsum("bij,bik->bjk", L21, xb,
+                               preferred_element_type=dtype)
+        z = jax.lax.linalg.triangular_solve(
+            D, t, left_side=True, lower=True, transpose_a=True
+        )
+        return x.at[cidx].set(z, mode="drop")
+
+    return fstep, bstep
+
+
+def _solve_body(arrays, Lx, rhs, d, colmask, *, n, R_local, dtype, axis):
+    local_meta, _R_top, top_meta = arrays["meta"].value
+    fstep, bstep = _solve_steps(arrays, Lx, n, R_local, dtype)
+
+    rhs = rhs.astype(dtype)
+    y = rhs[arrays["perm"]] * d[:, None]
+    y0 = y
+    # forward, local subtrees (zero collectives)
+    for spec, _u, _r in local_meta:
+        y = fstep(y, _unpack_chip(arrays["flat"], spec))
+    # merge: untouched entries have zero delta
+    y = y0 + jax.lax.psum(y - y0, axis)
+    # forward, top: supernodes are dealt round-robin, so each level's
+    # results merge with a per-level delta psum (mirrors factorize)
+    for lmeta, _span in top_meta:
+        yp = y
+        for spec, _u, _r in lmeta:
+            y = fstep(y, _unpack_chip(arrays["flat"], spec))
+        y = yp + jax.lax.psum(y - yp, axis)
+    # backward, top then local subtrees
+    x = y
+    for lmeta, _span in reversed(top_meta):
+        xp = x
+        for spec, _u, _r in reversed(lmeta):
+            x = bstep(x, _unpack_chip(arrays["flat"], spec))
+        x = xp + jax.lax.psum(x - xp, axis)
+    for spec, _u, _r in reversed(local_meta):
+        x = bstep(x, _unpack_chip(arrays["flat"], spec))
+    # owner-masked assembly + unscale + unpermute
+    x = jax.lax.psum(x * colmask[0][:, None], axis)
+    x = x * d[:, None]
+    return x[arrays["iperm"]]
+
+
+def solve_partitioned(plan: FactorizePlan, Lx_sharded, rhs, *, arrays,
+                      layout: StoreLayout, mesh: Mesh, d=None):
+    """Solve A x = rhs on the partitioned factor, fully under the mesh."""
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    dtype = jnp.dtype(plan.dtype)
+    if d is None:
+        d = jnp.ones((plan.n,), dtype=dtype)
+    rhs = jnp.asarray(rhs)
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+
+    # per-chip column ownership mask (top columns -> chip 0)
+    colowner = layout.owner[plan.S.sn_id].astype(np.int64)
+    mask = np.zeros((ndev, plan.n), dtype=np.float32)
+    for c in range(ndev):
+        mask[c] = (colowner == c) | ((colowner < 0) & (c == 0))
+    colmask = jnp.asarray(mask.astype(np.dtype(dtype)))
+
+    spec_in = {
+        "flat": {f: P(axis) for f in _FIELDS + _RUN_FIELDS},
+        "xrows": P(),
+        "meta": P(),
+        "sn_slots": P(),
+        "rtile": P(),
+        "entry_row": P(axis),
+        "entry_lane": P(axis),
+        "entry_plo": P(),
+        "entry_phi": P(),
+        "diag_map": P(),
+        "perm": P(),
+        "iperm": P(),
+    }
+    body = functools.partial(
+        _solve_body, n=plan.n, R_local=layout.R_local, dtype=dtype,
+        axis=axis,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_in, P(axis), P(), P(), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    with jax.default_matmul_precision("highest"):
+        x = fn(arrays, Lx_sharded, rhs, d, colmask)
+    return x[:, 0] if squeeze else x

@@ -94,11 +94,11 @@ def test_sharded_non_pd(mesh8):
 # Partitioned store (round 2): per-chip memory = top region + owned subtrees
 
 
-def _check_partitioned(A, mesh, extend="scatter", **kw):
+def _check_partitioned(A, mesh, extend="scatter", perm=None, **kw):
     from sparsecholesky_tpu.parallel import pstore
     from sparsecholesky_tpu import numeric
 
-    plan = compile_plan(A)
+    plan = compile_plan(A, perm=perm)
     Lx_s, lay, d = pstore.factorize_partitioned(
         plan, A.data, mesh, extend=extend, **kw
     )
@@ -119,13 +119,19 @@ def test_partitioned_matches_single_bcsstk01(bcsstk01, mesh8):
 
 
 def test_partitioned_matches_single_poisson(mesh8):
+    # ND ordering produces a bushy assembly tree, exercising real subtree
+    # distribution (a natural-order 12x12 grid is nearly all "top")
+    from sparsecholesky_tpu.ordering import nd_grid
+
     A = generators.poisson2d(12)
-    _check_partitioned(A, mesh8)
+    _check_partitioned(A, mesh8, perm=nd_grid((12, 12)))
 
 
 def test_partitioned_runs_extend_matches(mesh8):
+    from sparsecholesky_tpu.ordering import nd_grid
+
     A = generators.poisson2d(12)
-    _check_partitioned(A, mesh8, extend="runs_xla")
+    _check_partitioned(A, mesh8, extend="runs_xla", perm=nd_grid((12, 12)))
 
 
 def test_partitioned_scale_matches(bcsstk01, mesh8):
@@ -165,3 +171,27 @@ def test_partitioned_nonpd_localized(mesh8):
     with pytest.raises(NotPositiveDefiniteError) as ei:
         pstore.factorize_partitioned(plan, data, mesh8)
     assert ei.value.supernode is not None
+
+
+def test_partitioned_solve_matches_single(mesh8):
+    from sparsecholesky_tpu.parallel import pstore
+    from sparsecholesky_tpu import numeric, solve as _solve
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson2d(12)
+    plan = compile_plan(A, perm=nd_grid((12, 12)))
+    arrays, lay = pstore.shard_plan_partitioned(plan, 8)
+    Lx_s, lay, d = pstore.factorize_partitioned(
+        plan, A.data, mesh8, arrays=arrays, layout=lay
+    )
+    b = np.arange(1, plan.n + 1, dtype=np.float64)
+    x = pstore.solve_partitioned(plan, Lx_s, b, arrays=arrays, layout=lay,
+                                 mesh=mesh8, d=d)
+    # reference: single-chip factor + solve
+    Lx1, d1 = numeric.factorize(plan, A.data)
+    x1 = _solve.solve(plan, Lx1, b, d=d1)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x1), rtol=1e-9,
+                               atol=1e-9 * float(np.abs(np.asarray(x1)).max()))
+    # and it actually solves the system
+    r = A.to_scipy() @ np.asarray(x, dtype=np.float64) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-5
