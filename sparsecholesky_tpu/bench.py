@@ -137,12 +137,21 @@ def run_bench(
     vs = cpu_s / best
     if not np.isfinite(vs):
         vs = 0.0  # baseline skipped (too large for this host's CPU)
+    # the honest one-shot comparison includes OUR symbolic+plan+compile
+    # side too (scipy splu cannot separate its symbolic phase; SuperLU's
+    # Fact=SamePattern numeric-only path is not exposed through scipy) —
+    # vs_baseline is steady-state refactorization (the production pattern),
+    # vs_baseline_one_shot charges us the full cold build
+    vs_one = cpu_s / (t_build + best)
+    if not np.isfinite(vs_one):
+        vs_one = 0.0
 
     return {
         "metric": f"supernodal factorize GFLOP/s/chip ({matrix}, {ordering}, {dtype})",
         "value": round(gflops, 4),
         "unit": "GFLOP/s",
         "vs_baseline": round(vs, 4),
+        "vs_baseline_one_shot": round(vs_one, 4),
         "detail": {
             "n": A.n,
             "nnz_A": A.nnz,
@@ -155,6 +164,12 @@ def run_bench(
             "build_seconds_incl_compile": t_build,
             "solve_backward_error": be,
             "cpu_splu_seconds": cpu_s,
-            "baseline_def": "scipy splu factorize wall-time on this host",
+            "baseline_def": (
+                "scipy splu full factorize wall-time on this host vs our "
+                "steady-state numeric refactorization (vs_baseline) and vs "
+                "our cold build+factorize incl. symbolic/plan/jit-compile "
+                "(vs_baseline_one_shot); splu's symbolic phase is not "
+                "separable through scipy"
+            ),
         },
     }

@@ -39,6 +39,13 @@ def _load(spec: str):
         n = int(parts[1])
         dens = float(parts[2]) if len(parts) > 2 else 0.1
         return generators.random_sparse(n, dens), None
+    if parts[0] == "fem3d":
+        k = int(parts[1])
+        dofs = int(parts[2]) if len(parts) > 2 else 3
+        return generators.fem3d(k, dofs), None
+    if parts[0] == "irregular3d":
+        k = int(parts[1])
+        return generators.irregular3d(k), None
     return load_matrix_market(bundled_matrix(spec)), None
 
 

@@ -98,6 +98,91 @@ def poisson2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSCMatrix:
     )
 
 
+def fem3d(
+    nx: int, dofs: int = 3, *, dtype=np.float64, seed: int = 7
+) -> CSCMatrix:
+    """Structural-mechanics-style SPD matrix: a 3D hex grid with ``dofs``
+    unknowns per node and dense dof-block coupling along a 7-point stencil
+    (plus diagonal coupling within a node's block).  Structurally similar
+    to the SuiteSparse bcsstk family (BASELINE config 3 is bcsstk17-class,
+    ~11k rows: fem3d(16, 3) -> 12,288); values are randomized
+    symmetric-positive via diagonal dominance."""
+    rng = np.random.default_rng(seed)
+    nn = nx * nx * nx
+    n = nn * dofs
+    idx = np.arange(nn).reshape(nx, nx, nx)
+    pairs = [np.stack([idx.ravel(), idx.ravel()], axis=1)]
+    for a, b in (
+        (idx[:, :, :-1], idx[:, :, 1:]),
+        (idx[:, :-1, :], idx[:, 1:, :]),
+        (idx[:-1, :, :], idx[1:, :, :]),
+    ):
+        pairs.append(np.stack([a.ravel(), b.ravel()], axis=1))
+    pairs = np.concatenate(pairs, axis=0)
+    # expand node pairs into dense dofs x dofs blocks (upper wedge)
+    di, dj = np.meshgrid(np.arange(dofs), np.arange(dofs), indexing="ij")
+    ti = (pairs[:, 0, None, None] * dofs + di[None]).ravel()
+    tj = (pairs[:, 1, None, None] * dofs + dj[None]).ravel()
+    keep = tj >= ti
+    ti, tj = ti[keep], tj[keep]
+    vals = rng.uniform(-1.0, 1.0, size=len(ti)).astype(dtype)
+    off = ti != tj
+    rowsum = np.bincount(ti, np.abs(vals) * off, minlength=n) + np.bincount(
+        tj, np.abs(vals) * off, minlength=n
+    )
+    vals = np.where(off, vals, 1.0 + rowsum[ti])
+    return triplet_to_csc(ti, tj, vals, n, dtype=dtype)
+
+
+def irregular3d(
+    nx: int, *, drop: float = 0.25, extra: float = 0.08, dofs: int = 1,
+    dtype=np.float64, seed: int = 13
+) -> CSCMatrix:
+    """Irregular-mesh SPD matrix (BASELINE config 5 is audikw_1-class):
+    a 3D grid graph with a random ``drop`` fraction of stencil edges
+    removed and ``extra`` * n random longer-range edges added, so perfect
+    grid separators do not exist and the fill-reducing ordering (AMD /
+    BFS-ND) actually has to work.  irregular3d(100) -> 1M rows."""
+    rng = np.random.default_rng(seed)
+    nn = nx * nx * nx
+    idx = np.arange(nn).reshape(nx, nx, nx)
+    ei, ej = [], []
+    for a, b in (
+        (idx[:, :, :-1], idx[:, :, 1:]),
+        (idx[:, :-1, :], idx[:, 1:, :]),
+        (idx[:-1, :, :], idx[1:, :, :]),
+    ):
+        keep = rng.uniform(size=a.size) >= drop
+        ei.append(a.ravel()[keep])
+        ej.append(b.ravel()[keep])
+    nex = int(extra * nn)
+    # short-range random edges (within a small neighborhood, like crossing
+    # element diagonals in an unstructured mesh)
+    src = rng.integers(0, nn, size=nex)
+    jump = rng.integers(1, nx * nx + 2, size=nex)
+    dst = np.minimum(nn - 1, src + jump)
+    ei.append(src)
+    ej.append(dst)
+    ei = np.concatenate(ei)
+    ej = np.concatenate(ej)
+    if dofs > 1:
+        di, dj = np.meshgrid(np.arange(dofs), np.arange(dofs), indexing="ij")
+        ei = (ei[:, None, None] * dofs + di[None]).ravel()
+        ej = (ej[:, None, None] * dofs + dj[None]).ravel()
+    n = nn * dofs
+    ti = np.concatenate([np.arange(n), ei])
+    tj = np.concatenate([np.arange(n), ej])
+    vals = rng.uniform(-1.0, 1.0, size=len(ti)).astype(dtype)
+    off = ti != tj
+    lo = np.minimum(ti, tj)
+    hi = np.maximum(ti, tj)
+    rowsum = np.bincount(lo, np.abs(vals) * off, minlength=n) + np.bincount(
+        hi, np.abs(vals) * off, minlength=n
+    )
+    vals = np.where(off, vals, 1.0 + rowsum[ti])
+    return triplet_to_csc(ti, tj, vals, n, dtype=dtype)
+
+
 def poisson3d(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64) -> CSCMatrix:
     """3D 7-point Laplacian on an nx*ny*nz grid (the BASELINE.json 1M-row
     Poisson config at nx=ny=nz=100)."""

@@ -705,6 +705,8 @@ def _panel_factor(P, w_pad, backend: str):
         return panel_cholesky(P, w_pad)
     if backend == "fused":
         return _panel_factor_fused(P, w_pad)
+    if backend == "copy":    # profiling aid: no factorization, data path only
+        return P, jnp.ones((P.shape[0],), P.dtype)
     return _panel_factor_xla(P, w_pad)
 
 

