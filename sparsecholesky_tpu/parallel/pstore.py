@@ -62,44 +62,178 @@ from .shard import subtree_partition
 
 @dataclasses.dataclass(frozen=True)
 class StoreLayout:
-    """Host-side description of the partitioned store."""
+    """Host-side description of the partitioned store.
+
+    Per-chip local layout (C2, with distributed wide separators):
+
+      [ narrow top | own wide segments | own subtrees | halo | pad ]
+
+    Narrow top = above-frontier supernodes with < wide_nseg lane segments,
+    replicated with identical addressing on every chip.  Wide top
+    supernodes are distributed SEGMENT-CYCLIC: lane segment k of wide
+    supernode s (an [m_s, 128] contiguous chunk, segment-major store)
+    lives only on chip (s + k) % ndev.  Updates that target a wide segment
+    are written to a chip-local HALO copy of that segment and merged into
+    the owner by an exchange (one psum over the touched-segment union)
+    at the frontier and at each top wavefront level."""
 
     ndev: int
-    R_top: int                # rows of the shared top region
+    R_top: int                # rows of the (narrow) shared top region
     R_local: int              # uniform per-chip store rows (incl. tail pad)
     owner: np.ndarray         # [ns] chip of each supernode (-1 = top)
     local_start: np.ndarray   # [ndev, ns] local first row of block s on its
                               # holder chips; -1 where the chip holds no copy
     nrows_of: np.ndarray      # [ns] store rows of each block
+    wide: np.ndarray | None = None       # [ns] wide-top mask
+    wseg_start: dict | None = None       # (s, k) -> owner-local row
+    wslots: tuple | None = None          # per chip: tuple of (s, k) held
+    halo_start: dict | None = None       # (c, s, k) -> halo-local row
+    halo_span: tuple | None = None       # per chip (first_row, nrows)
+    exch: tuple | None = None            # sorted touched (s, k) pairs
+
+    def wide_owner(self, s: int, k: int) -> int:
+        return (s + k) % self.ndev
 
     def global_to_local(self, c: int):
         """Shift table: global store row -> chip-c local row per block."""
         return self.local_start[c]
 
 
-def build_layout(plan: FactorizePlan, ndev: int) -> StoreLayout:
+def _touched_wide_segments(plan, owner, wide, ndev):
+    """(chip -> set of (s, seg)) update targets landing on wide blocks,
+    plus the union.  Wide supernodes' own trailing updates are computed
+    (partially) on EVERY chip, so their wide targets count for all."""
+    row_off = plan.row_off
+    block_m = plan.block_m
+    per_chip = [set() for _ in range(ndev)]
+    rr_ids = np.arange(plan.ns)
+    topfill = 0
+    for lev in plan.levels:
+        for b in lev:
+            if b.runs_raw is None or not len(b.runs_raw):
+                continue
+            rr = b.runs_raw.astype(np.int64)
+            tgt = np.searchsorted(row_off, rr[:, 4], side="right") - 1
+            wmask = wide[tgt]
+            if not wmask.any():
+                continue
+            rw = rr[wmask]
+            tw = tgt[wmask]
+            seg = (rw[:, 4] - row_off[tw]) // block_m[tw]
+            # a window may cross into the next segment by < run_tile rows
+            seg2 = np.minimum(
+                (rw[:, 4] + rw[:, 3] - 1 + plan.run_tile - row_off[tw])
+                // block_m[tw],
+                plan.block_nseg[tw] - 1,
+            )
+            src = b.sn_ids[rw[:, 0]]
+            for t, g0, g1, s_src in zip(tw, seg, seg2, src):
+                oc = owner[s_src]
+                if oc < 0 and wide[s_src]:
+                    chips = range(ndev)       # wide source: partial on all
+                elif oc < 0:
+                    chips = range(ndev)       # narrow top: round-robin slot
+                else:
+                    chips = (int(oc),)
+                for c in chips:
+                    for g in range(int(g0), int(g1) + 1):
+                        per_chip[c].add((int(t), int(g)))
+    union = sorted(set().union(*per_chip)) if per_chip else []
+    return per_chip, union
+
+
+def build_layout(plan: FactorizePlan, ndev: int,
+                 wide_nseg: int | None = None) -> StoreLayout:
     owner, _is_top = subtree_partition(plan, ndev)
     ns = plan.ns
     nrows_of = (plan.block_m * plan.block_nseg).astype(np.int64)
+    wide = np.zeros(ns, dtype=bool)
+    if wide_nseg is not None:
+        wide = (owner < 0) & (plan.block_nseg >= wide_nseg)
     local_start = np.full((ndev, ns), -1, dtype=np.int64)
     off = 0
     for s in range(ns):
-        if owner[s] < 0:
-            local_start[:, s] = off     # top region: same slot on all chips
+        if owner[s] < 0 and not wide[s]:
+            local_start[:, s] = off     # narrow top: same slot on all chips
             off += int(nrows_of[s])
     R_top = off
+
+    # wide segments, cyclic by (s + k) % ndev, in (s, k) order per chip
+    wseg_start: dict = {}
+    wslots: list[list] = [[] for _ in range(ndev)]
+    wends = [R_top] * ndev
+    for s in range(ns):
+        if not wide[s]:
+            continue
+        m = int(plan.block_m[s])
+        for k in range(int(plan.block_nseg[s])):
+            c = (s + k) % ndev
+            wseg_start[(s, k)] = wends[c]
+            wslots[c].append((s, k))
+            wends[c] += m
+    wtop = max(wends)
+
     ends = []
     for c in range(ndev):
-        o = R_top
+        o = wtop
         for s in range(ns):
             if owner[s] == c:
                 local_start[c, s] = o
                 o += int(nrows_of[s])
         ends.append(o)
-    R_local = max(ends) + STORE_TAIL_PAD
+    sub_end = max(ends)
+
+    halo_start: dict = {}
+    halo_span: list = []
+    exch: list = []
+    if wide.any():
+        per_chip, exch = _touched_wide_segments(plan, owner, wide, ndev)
+        hends = []
+        for c in range(ndev):
+            o = sub_end
+            h0 = o
+            for (s, k) in sorted(per_chip[c]):
+                halo_start[(c, s, k)] = o
+                o += int(plan.block_m[s])
+            halo_span.append((h0, o - h0))
+            hends.append(o)
+        R_local = max(hends) + STORE_TAIL_PAD
+    else:
+        halo_span = [(sub_end, 0)] * ndev
+        R_local = sub_end + STORE_TAIL_PAD
     return StoreLayout(ndev=ndev, R_top=R_top, R_local=R_local,
                        owner=owner, local_start=local_start,
-                       nrows_of=nrows_of)
+                       nrows_of=nrows_of, wide=wide,
+                       wseg_start=wseg_start,
+                       wslots=tuple(tuple(w) for w in wslots),
+                       halo_start=halo_start, halo_span=tuple(halo_span),
+                       exch=tuple(exch))
+
+
+def _remap_rows(plan, lay: StoreLayout, c: int, grows: np.ndarray
+                ) -> np.ndarray:
+    """Global store rows -> chip-c local rows.  Wide-block rows map to the
+    chip's HALO copy of the containing segment (the uniform rule for
+    update targets); rows of blocks the chip does not hold map out of
+    bounds."""
+    grows = np.asarray(grows, dtype=np.int64)
+    t = np.searchsorted(plan.row_off, grows, side="right") - 1
+    out = np.full(len(grows), lay.R_local, dtype=np.int64)
+    rel = grows - plan.row_off[t]
+    widet = lay.wide[t] if lay.wide is not None else np.zeros(len(t), bool)
+    # non-wide: plain shift where held
+    held = ~widet & (lay.local_start[c][t] >= 0)
+    out[held] = lay.local_start[c][t[held]] + rel[held]
+    # wide: halo segment copy
+    wi = np.where(widet)[0]
+    for i in wi:
+        s = int(t[i])
+        m = int(plan.block_m[s])
+        k = int(rel[i]) // m
+        h = lay.halo_start.get((c, s, k))
+        if h is not None:
+            out[i] = h + int(rel[i]) - k * m
+    return out
 
 
 def _chip_bucket(plan, b, members, lay: StoreLayout, c: int, Bd: int):
@@ -140,10 +274,9 @@ def _chip_bucket(plan, b, members, lay: StoreLayout, c: int, Bd: int):
                       ustride=None, uj0=None, uG=None, runs_raw=None)
         return Bucket(**fields)
 
-    # urow0 remap: owner block of each group found from its global row0
+    # urow0 remap: wide-aware (wide targets -> chip halo segment copies)
     urow0 = b.urow0[k].astype(np.int64)
-    gsn = np.searchsorted(plan.row_off, urow0, side="right") - 1
-    urow0 = urow0 + shift[gsn]
+    urow0 = _remap_rows(plan, lay, c, urow0.ravel()).reshape(urow0.shape)
     if pad:
         urow0 = np.concatenate([urow0, np.zeros((pad, urow0.shape[1]), np.int64)])
     fields.update(
@@ -160,8 +293,7 @@ def _chip_bucket(plan, b, members, lay: StoreLayout, c: int, Bd: int):
         slot_of = np.full(int(b.batch), -1, np.int64)
         slot_of[k] = np.arange(nm)
         rr[:, 0] = slot_of[rr[:, 0]]
-        rsn = np.searchsorted(plan.row_off, rr[:, 4], side="right") - 1
-        rr[:, 4] = rr[:, 4] + shift[rsn]
+        rr[:, 4] = _remap_rows(plan, lay, c, rr[:, 4])
         order = np.lexsort((rr[:, 2], rr[:, 1], rr[:, 0]))
         rr = rr[order]
     else:
@@ -175,16 +307,21 @@ def _np32(a):
 
 
 def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
-                           extend: str = "scatter"):
+                           extend: str = "scatter",
+                           wide_nseg: int | None = None):
     """Compile the partitioned-store device plan.
 
     Returns the arrays dict for ``factorize_partitioned`` plus the
     StoreLayout (host-side).  Flat buffers are [ndev, total] (device axis
     sharded over the mesh); meta is static:
-      (local steps, R_top, top levels [(steps, xrow span)], nw meta)
+      (local steps, R_top, top levels [(steps, xrow span, wide steps)])
+    ``wide_nseg`` enables distributed wide separators: top supernodes with
+    at least that many lane segments are segment-cyclically distributed
+    and factored cooperatively (see _wide_step).
     """
-    lay = build_layout(plan, ndev)
+    lay = build_layout(plan, ndev, wide_nseg)
     owner = lay.owner
+    wide = lay.wide
     itemsize = plan.dtype.itemsize
     dummy_row = lay.R_local - plan.run_tile
     use_runs = extend != "scatter"
@@ -268,14 +405,48 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
             local_meta.append((spec, b.utile_g, rch[0]))
 
     # ---- top phase: wavefront round-robin inside the shared region ------
-    # every chip addresses the top region identically; chip index c==0
-    # is the canonical holder for A's entries
+    # every chip addresses the narrow top region identically; chip index
+    # c==0 is the canonical holder for A's narrow-top entries.  Wide top
+    # supernodes become dedicated distributed steps (_wide_step).
+    def wide_step_meta(s: int, b, bi: int):
+        """Static + dealt fields of one distributed wide supernode."""
+        nseg = int(plan.block_nseg[s])
+        m = int(plan.block_m[s])
+        nsegc = -(-nseg // ndev)
+        seg_start = np.full((ndev, nsegc), lay.R_local, np.int64)
+        seg_id = np.full((ndev, nsegc), -1, np.int64)
+        for c in range(ndev):
+            for j, (ws, wk) in enumerate(
+                    [t for t in lay.wslots[c] if t[0] == s]):
+                seg_start[c, j] = lay.wseg_start[(ws, wk)]
+                seg_id[c, j] = wk
+        so = offs["row0"]  # piggyback extra ints on the row0 buffer
+        extra = np.concatenate([seg_start, seg_id], axis=1)
+        chunks["row0"].append(
+            np.ascontiguousarray(extra, np.int32).reshape(ndev, -1))
+        offs["row0"] += extra.shape[1]
+        # the wide supernode's own Schur-update bucket (partial updates
+        # from each chip's owned columns; targets remapped to halos)
+        rch: list = []
+        cbs = [_chip_bucket(plan, b, [bi], lay, c, 1) for c in range(ndev)]
+        spec = deal(cbs, rch)
+        for c in range(ndev):
+            slots[c].append(int(s))
+        return (int(s), int(plan.block_w[s]),
+                int(plan.block_m[s] - plan.block_w[s]), m, nseg, nsegc,
+                b.w_pad, b.mb_pad, spec, b.utile_g, rch[0], so)
+
     top_meta = []
     for lev in plan.levels:
         lmeta = []
+        wmeta = []
         rowlists = []
         for b in lev:
-            topk = np.where(owner[b.sn_ids] < 0)[0]
+            istop = owner[b.sn_ids] < 0
+            iswide = wide[b.sn_ids]
+            for bi in np.where(istop & iswide)[0]:
+                wmeta.append(wide_step_meta(int(b.sn_ids[bi]), b, int(bi)))
+            topk = np.where(istop & ~iswide)[0]
             if not len(topk):
                 continue
             per = [topk[topk % ndev == c] for c in range(ndev)]
@@ -288,38 +459,75 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
             rch = []
             spec = deal(cbs, rch)
             lmeta.append((spec, b.utile_g, rch[0]))
-            # touched local top rows: panel rows + update targets (all in
-            # the top region under any chip's coordinates; use chip 0's)
+            # touched local narrow-top rows: panel rows + update targets
+            # (identical addressing on all chips)
             for i in topk:
                 s = int(b.sn_ids[i])
                 r0 = int(lay.local_start[0, s])
                 rowlists.append(np.arange(r0, r0 + int(lay.nrows_of[s])))
-            # update-target rows from EVERY chip's runs (the top region is
-            # addressed identically on all chips)
+            # narrow update-target rows from EVERY chip's runs (wide
+            # targets ride the halo exchange instead)
             for cb in cbs:
                 rrr = cb.runs_raw
                 if rrr is not None and len(rrr):
-                    for st, ln in zip(rrr[:, 4], rrr[:, 3]):
+                    keep = rrr[:, 4] < lay.R_top
+                    for st, ln in zip(rrr[keep, 4], rrr[keep, 3]):
                         rowlists.append(np.arange(st, st + ln))
-        if lmeta:
+        if lmeta or wmeta:
             xrows = (np.unique(np.concatenate(rowlists)).astype(np.int32)
                      if rowlists else np.zeros(0, np.int32))
             span = (xoff, len(xrows))
             xchunks.append(xrows)
             xoff += len(xrows)
-            top_meta.append((tuple(lmeta), span))
+            top_meta.append((tuple(lmeta), span, tuple(wmeta)))
 
     # ---- per-chip entry scatter maps ------------------------------------
-    # entry e lands in block t = supernode of its column; top entries go to
-    # chip 0 only (the frontier psum would multiply duplicates), owned
-    # entries to their owner chip; all other chips drop to out-of-bounds.
+    # entry e lands in block t = supernode of its column; narrow-top
+    # entries go to chip 0 only (the frontier psum would multiply
+    # duplicates), owned entries to their owner chip, wide entries to the
+    # target segment's owner; all other chips drop to out-of-bounds.
     ecol = plan.entry_plo.astype(np.int64)   # permuted column = L column
     t = plan.S.sn_id[ecol].astype(np.int64)
+    rel = plan.entry_row.astype(np.int64) - plan.row_off[t]
+    is_w = wide[t]
+    m_t = plan.block_m[t]
+    seg = np.where(is_w, rel // np.maximum(m_t, 1), 0)
+    segrel = rel - seg * m_t
+    woc = (t + seg) % ndev
+    wbase = np.zeros(len(ecol), dtype=np.int64)
+    wi = np.where(is_w)[0]
+    for i in wi:
+        wbase[i] = lay.wseg_start.get((int(t[i]), int(seg[i])), lay.R_local)
     erow = np.empty((ndev, len(ecol)), dtype=np.int64)
     for c in range(ndev):
         shift = lay.local_start[c] - plan.row_off
-        keep = (owner[t] == c) | ((owner[t] < 0) & (c == 0))
+        keep = (~is_w) & ((owner[t] == c) | ((owner[t] < 0) & (c == 0)))
         erow[c] = np.where(keep, plan.entry_row + shift[t], lay.R_local)
+        erow[c][wi] = np.where(
+            woc[wi] == c, wbase[wi] + segrel[wi], lay.R_local
+        )
+
+    # ---- wide-segment exchange spec -------------------------------------
+    # one buffer row per row of every touched wide segment (lay.exch):
+    # each chip contributes its halo copy (zeros where it has none), the
+    # psum'd sum lands in the owner's live segment.
+    XR = int(sum(plan.block_m[s] for s, _k in lay.exch)) if lay.exch else 0
+    exch_src = np.full((ndev, max(XR, 1)), lay.R_local, np.int64)
+    exch_dst = np.full((ndev, max(XR, 1)), lay.R_local, np.int64)
+    xo = 0
+    for (s, k) in lay.exch:
+        m = int(plan.block_m[s])
+        oc = (s + k) % ndev
+        for c in range(ndev):
+            h = lay.halo_start.get((c, s, k))
+            if h is not None:
+                exch_src[c, xo : xo + m] = np.arange(h, h + m)
+        exch_dst[oc, xo : xo + m] = np.arange(
+            lay.wseg_start[(s, k)], lay.wseg_start[(s, k)] + m
+        )
+        xo += m
+    halo0 = lay.halo_span[0][0] if lay.halo_span else lay.R_local
+    halo_max = max((hl for _h0, hl in lay.halo_span), default=0)
 
     flat = {
         f: jnp.asarray(
@@ -333,7 +541,10 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
         "xrows": jnp.asarray(
             np.concatenate(xchunks) if xchunks else np.zeros(0, np.int32)
         ),
-        "meta": _Static((tuple(local_meta), lay.R_top, tuple(top_meta))),
+        "exch_src": jnp.asarray(exch_src.astype(np.int32)),
+        "exch_dst": jnp.asarray(exch_dst.astype(np.int32)),
+        "meta": _Static((tuple(local_meta), lay.R_top, tuple(top_meta),
+                         (XR, halo0, halo_max))),
         "sn_slots": _Static(tuple(tuple(c) for c in slots)),
         "rtile": _Static(plan.run_tile),
         "entry_row": jnp.asarray(erow.astype(np.int32)),
@@ -368,8 +579,110 @@ def _unpack_chip(flat, spec) -> _BucketArrays:
 # Device-side partitioned factorize
 
 
-def _body(arrays, Ax, *, R_local, dtype, axis, scale, extend, rtile):
-    local_meta, R_top, top_meta = arrays["meta"].value
+def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
+               minpivs, extend, rtile):
+    """Cooperatively factor one segment-cyclically-distributed wide top
+    supernode (the sharded counterpart of numeric._dense_instore_step):
+    per lane segment k, the owner chip factors the 128-wide column panel
+    from its local segment, the panel broadcasts with one masked psum, and
+    every chip right-looking-updates its own later segments — a 1D
+    column-cyclic distributed blocked LLT.  The trailing Schur update to
+    assembly-tree ancestors is computed PARTIALLY per chip (its own
+    columns only; partial sums meet at the halo exchange) through the
+    ordinary apply_schur_update on a zero-padded full-width L21."""
+    (s, w, mb, m, nseg, nsegc, w_pad, mb_pad, spec, utile_g, rchunks,
+     so) = wm
+    ss = jax.lax.slice(
+        arrays["flat"]["row0"], (0, so), (1, so + 2 * nsegc)
+    ).reshape(2, nsegc)
+    segst, segid = ss[0], ss[1]
+    me = jax.lax.axis_index(axis)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    minpiv = jnp.asarray(jnp.inf, dtype)
+
+    # padded row space: the last segment's 128-row diagonal block may
+    # extend past the block's m true rows (w not a lane multiple, small
+    # mb); pad rows are zero and factor to identity via the dead-lane term
+    M = max(m, nseg * LANE)
+    for k in range(nseg):
+        j0 = k // ndev
+        oc = (s + k) % ndev
+        wk = min(LANE, w - k * LANE)
+        own = me == oc
+        seg = jax.lax.dynamic_slice(Lx, (segst[j0], jnp.int32(0)), (m, LANE))
+        segp = jnp.pad(seg, ((0, M - m), (0, 0))) if M > m else seg
+        D = segp[k * LANE : (k + 1) * LANE]
+        D = jnp.tril(D) + jnp.swapaxes(jnp.tril(D, -1), 0, 1)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        mm = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        dead = (cc >= wk) | (mm + k * LANE >= m)
+        D = D + ((rr == cc) & dead).astype(dtype)         # dead ident
+        Lkk = jnp.linalg.cholesky(D)
+        dg = jnp.diagonal(Lkk)[:wk]
+        piv = jnp.min(jnp.where(jnp.isnan(dg), -jnp.inf, dg))
+        Lkk = jnp.where(jnp.isnan(Lkk), 0.0, Lkk)
+        rest = segp[(k + 1) * LANE :]
+        L21s = jax.lax.linalg.triangular_solve(
+            Lkk, rest, left_side=False, lower=True, transpose_a=True
+        )
+        Lkk_m = jnp.where(cc < wk, Lkk, 0.0)              # zero dead lanes
+        cand = jnp.concatenate(
+            [jnp.zeros((k * LANE, LANE), dtype), Lkk_m, L21s], axis=0
+        )
+        panel = jax.lax.psum(jnp.where(own, cand, 0.0), axis)  # [M, 128]
+        minpiv = jnp.minimum(
+            minpiv, jax.lax.psum(jnp.where(own, piv, 0.0), axis)
+        )
+        Lx = jax.lax.dynamic_update_slice(
+            Lx, jnp.where(own, panel[:m], seg), (segst[j0], jnp.int32(0))
+        )
+        # trailing right-looking update on my own later segments
+        panelp = jnp.concatenate(
+            [panel, jnp.zeros((LANE, LANE), dtype)], axis=0
+        )
+        for j in range(nsegc):
+            kj = segid[j]
+            valid = (kj > k) & (kj >= 0)
+            wj = jnp.clip(w - kj * LANE, 0, LANE)
+            Pj = jax.lax.dynamic_slice(
+                panelp, (jnp.maximum(kj, 0) * LANE, jnp.int32(0)),
+                (LANE, LANE),
+            )
+            Pj = jnp.where(rr < wj, Pj, 0.0)
+            upd = jnp.einsum("ik,jk->ij", panel[:m], Pj,
+                             preferred_element_type=dtype)
+            S = jax.lax.dynamic_slice(
+                Lx, (segst[j], jnp.int32(0)), (m, LANE)
+            )
+            S = S - jnp.where(valid, 1.0, 0.0) * upd
+            Lx = jax.lax.dynamic_update_slice(
+                Lx, S, (segst[j], jnp.int32(0))
+            )
+    minpivs.append(minpiv[None])
+
+    # partial Schur update to ancestors from my own columns
+    if mb and mb_pad:
+        L21p = jnp.zeros((mb, w_pad), dtype)
+        colp = jax.lax.broadcasted_iota(jnp.int32, (LANE, w_pad), 1)
+        rowp = jax.lax.broadcasted_iota(jnp.int32, (LANE, w_pad), 0)
+        for j in range(nsegc):
+            kj = segid[j]
+            segv = jax.lax.dynamic_slice(
+                Lx, (segst[j] + w, jnp.int32(0)), (mb, LANE)
+            )
+            E = ((colp == kj * LANE + rowp) & (kj >= 0)).astype(dtype)
+            L21p = L21p + jnp.einsum("ik,kc->ic", segv, E,
+                                     preferred_element_type=dtype)
+        if mb_pad > mb:
+            L21p = jnp.pad(L21p, ((0, mb_pad - mb), (0, 0)))
+        bl = _unpack_chip(arrays["flat"], spec)
+        delta = apply_schur_update(delta, bl, L21p[None], R_local, dtype,
+                                   utile_g, extend, rchunks, rtile)
+    return Lx, delta
+
+
+def _body(arrays, Ax, *, R_local, dtype, axis, ndev, scale, extend, rtile):
+    local_meta, R_top, top_meta, (XR, halo0, halo_max) = arrays["meta"].value
 
     # initial values into the local store (per-chip entry map)
     if scale:
@@ -399,18 +712,36 @@ def _body(arrays, Ax, *, R_local, dtype, axis, scale, extend, rtile):
                                     dtype, utile_g, extend, rchunks, rtile)
         return Lx
 
+    def exchange(Lx, src_of):
+        """Merge halo contributions into segment owners: one psum over the
+        touched-segment union buffer.  ``src_of`` is the array holding the
+        contributions (Lx in the local phase, the level delta above)."""
+        if not XR:
+            return Lx
+        contrib = jnp.take(src_of, arrays["exch_src"][0], axis=0,
+                           mode="fill", fill_value=0)
+        contrib = jax.lax.psum(contrib, axis)
+        return Lx.at[arrays["exch_dst"][0]].add(contrib, mode="drop")
+
     # ---- local phase: zero collectives ---------------------------------
     for spec, utile_g, rchunks in local_meta:
         Lx = step(Lx, spec, utile_g, rchunks)
 
-    # ---- frontier: one psum of the shared top region --------------------
+    # ---- frontier: one psum of the shared narrow-top region, plus the
+    # halo exchange for wide segments ------------------------------------
     if R_top:
         top = jax.lax.slice(Lx, (0, 0), (R_top, LANE))
         top = jax.lax.psum(top, axis)
         Lx = jax.lax.dynamic_update_slice(Lx, top, (0, 0))
+    if XR:
+        Lx = exchange(Lx, Lx)
+        Lx = jax.lax.dynamic_update_slice(
+            Lx, jnp.zeros((halo_max, LANE), dtype), (halo0, 0)
+        )
 
-    # ---- top phase: per-level psum of touched rows ----------------------
-    for lmeta, (xo, xl) in top_meta:
+    # ---- top phase: per-level psum of touched narrow rows + halo
+    # exchange; wide separators factor cooperatively ----------------------
+    for lmeta, (xo, xl), wmeta in top_meta:
         delta = jnp.zeros_like(Lx)
         for spec, utile_g, rchunks in lmeta:
             bl = _unpack_chip(arrays["flat"], spec)
@@ -422,10 +753,17 @@ def _body(arrays, Ax, *, R_local, dtype, axis, scale, extend, rtile):
                 delta = apply_schur_update(delta, bl, L[:, bl.w_pad:, :],
                                            R_local, dtype, utile_g, extend,
                                            rchunks, rtile)
+        for wm in wmeta:
+            Lx, delta = _wide_step(
+                Lx, delta, arrays, wm, R_local=R_local, dtype=dtype,
+                axis=axis, ndev=ndev, minpivs=minpivs, extend=extend,
+                rtile=rtile,
+            )
         xr = jax.lax.slice(arrays["xrows"], (xo,), (xo + xl,))
         h = jnp.take(delta, xr, axis=0, mode="fill", fill_value=0)
         h = jax.lax.psum(h, axis)
         Lx = Lx.at[xr].add(h, mode="drop")
+        Lx = exchange(Lx, delta)
 
     minpiv = (jnp.concatenate(minpivs) if minpivs
               else jnp.zeros((0,), dtype=dtype))
@@ -435,7 +773,8 @@ def _body(arrays, Ax, *, R_local, dtype, axis, scale, extend, rtile):
 def factorize_partitioned(plan: FactorizePlan, Ax, mesh: Mesh, *,
                           arrays=None, layout: StoreLayout | None = None,
                           scale: bool = False, check: bool = True,
-                          extend: str = "scatter"):
+                          extend: str = "scatter",
+                          wide_nseg: int | None = None):
     """Distributed numeric factorization on the partitioned store.
 
     Returns (Lx_sharded [ndev, R_local, 128], layout, d).  Use
@@ -444,12 +783,15 @@ def factorize_partitioned(plan: FactorizePlan, Ax, mesh: Mesh, *,
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if arrays is None or layout is None:
-        arrays, layout = shard_plan_partitioned(plan, ndev, extend)
+        arrays, layout = shard_plan_partitioned(plan, ndev, extend,
+                                                wide_nseg)
     dtype = jnp.dtype(plan.dtype)
 
     spec = {
         "flat": {f: P(axis) for f in _FIELDS + _RUN_FIELDS},
         "xrows": P(),
+        "exch_src": P(axis),
+        "exch_dst": P(axis),
         "meta": P(),
         "sn_slots": P(),
         "rtile": P(),
@@ -462,8 +804,8 @@ def factorize_partitioned(plan: FactorizePlan, Ax, mesh: Mesh, *,
         "iperm": P(),
     }
     body = functools.partial(
-        _body, R_local=layout.R_local, dtype=dtype, axis=axis, scale=scale,
-        extend=extend, rtile=plan.run_tile,
+        _body, R_local=layout.R_local, dtype=dtype, axis=axis, ndev=ndev,
+        scale=scale, extend=extend, rtile=plan.run_tile,
     )
     fn = jax.jit(
         jax.shard_map(
@@ -500,6 +842,14 @@ def gather_full(plan: FactorizePlan, Lx_sharded, layout: StoreLayout
     Lxs = Lxs.reshape(layout.ndev, layout.R_local, LANE)
     out = np.zeros((plan.R_L, LANE), Lxs.dtype)
     for s in range(plan.ns):
+        if layout.wide is not None and layout.wide[s]:
+            m = int(plan.block_m[s])
+            g0 = int(plan.row_off[s])
+            for k in range(int(plan.block_nseg[s])):
+                c = layout.wide_owner(s, k)
+                r0 = int(layout.wseg_start[(s, k)])
+                out[g0 + k * m : g0 + (k + 1) * m] = Lxs[c][r0 : r0 + m]
+            continue
         c = int(layout.owner[s])
         src = Lxs[max(c, 0)]
         r0 = int(layout.local_start[max(c, 0), s])
@@ -569,7 +919,7 @@ def _solve_steps(arrays, Lx, n, R_local, dtype):
 
 
 def _solve_body(arrays, Lx, rhs, d, colmask, *, n, R_local, dtype, axis):
-    local_meta, _R_top, top_meta = arrays["meta"].value
+    local_meta, _R_top, top_meta, _exch = arrays["meta"].value
     fstep, bstep = _solve_steps(arrays, Lx, n, R_local, dtype)
 
     rhs = rhs.astype(dtype)
@@ -582,14 +932,14 @@ def _solve_body(arrays, Lx, rhs, d, colmask, *, n, R_local, dtype, axis):
     y = y0 + jax.lax.psum(y - y0, axis)
     # forward, top: supernodes are dealt round-robin, so each level's
     # results merge with a per-level delta psum (mirrors factorize)
-    for lmeta, _span in top_meta:
+    for lmeta, _span, _wm in top_meta:
         yp = y
         for spec, _u, _r in lmeta:
             y = fstep(y, _unpack_chip(arrays["flat"], spec))
         y = yp + jax.lax.psum(y - yp, axis)
     # backward, top then local subtrees
     x = y
-    for lmeta, _span in reversed(top_meta):
+    for lmeta, _span, _wm in reversed(top_meta):
         xp = x
         for spec, _u, _r in reversed(lmeta):
             x = bstep(x, _unpack_chip(arrays["flat"], spec))
@@ -622,9 +972,17 @@ def solve_partitioned(plan: FactorizePlan, Lx_sharded, rhs, *, arrays,
         mask[c] = (colowner == c) | ((colowner < 0) & (c == 0))
     colmask = jnp.asarray(mask.astype(np.dtype(dtype)))
 
+    if layout.wide is not None and layout.wide.any():
+        raise NotImplementedError(
+            "solve_partitioned does not yet support distributed wide "
+            "separators; gather_full + the single-chip solve covers that "
+            "configuration"
+        )
     spec_in = {
         "flat": {f: P(axis) for f in _FIELDS + _RUN_FIELDS},
         "xrows": P(),
+        "exch_src": P(axis),
+        "exch_dst": P(axis),
         "meta": P(),
         "sn_slots": P(),
         "rtile": P(),

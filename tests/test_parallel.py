@@ -195,3 +195,56 @@ def test_partitioned_solve_matches_single(mesh8):
     # and it actually solves the system
     r = A.to_scipy() @ np.asarray(x, dtype=np.float64) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# C2: distributed wide separators (forced-wide threshold on the fake mesh,
+# per VERDICT round-1 item 4)
+
+
+def _check_wide(A, mesh, wide_nseg, perm=None, extend="scatter", ndev=8):
+    from sparsecholesky_tpu.parallel import pstore
+    from sparsecholesky_tpu import numeric
+
+    plan = compile_plan(A, perm=perm)
+    Lx_s, lay, d = pstore.factorize_partitioned(
+        plan, A.data, mesh, extend=extend, wide_nseg=wide_nseg,
+    )
+    assert lay.wide.any(), "fixture must actually contain a wide supernode"
+    full = pstore.gather_full(plan, Lx_s, lay)
+    Lx1, d1 = numeric.factorize(plan, A.data, extend="scatter")
+    np.testing.assert_allclose(
+        full, np.asarray(Lx1),
+        atol=1e-9 * max(1.0, float(np.abs(np.asarray(Lx1)).max())),
+    )
+    return lay
+
+
+def test_wide_separator_distributed(mesh8):
+    # poisson3d(12) ND: root separator has 144 columns -> 2 lane segments
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson3d(12)
+    lay = _check_wide(A, mesh8, wide_nseg=2, perm=nd_grid((12, 12, 12)))
+    # the wide block's segments really live on different chips
+    ws = np.where(lay.wide)[0]
+    owners = {lay.wide_owner(int(s), k)
+              for s in ws for k in range(2)}
+    assert len(owners) > 1
+
+
+def test_wide_all_top_distributed(mesh8):
+    # wide_nseg=1: EVERY top supernode distributes (empty narrow region),
+    # exercising wide->wide partial updates and the halo exchange
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson2d(16)
+    _check_wide(A, mesh8, wide_nseg=1, perm=nd_grid((16, 16)))
+
+
+def test_wide_runs_extend(mesh8):
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson3d(12)
+    _check_wide(A, mesh8, wide_nseg=2, perm=nd_grid((12, 12, 12)),
+                extend="runs_xla")
