@@ -54,7 +54,7 @@ def run_bench(
 
     A, grid_shape = _load(matrix)
     if ordering == "auto-grid":
-        ordering = "nd-grid" if grid_shape is not None else "amd"
+        ordering = "nd-grid" if grid_shape is not None else "auto"
 
     t_sym0 = time.time()
     F = chol(

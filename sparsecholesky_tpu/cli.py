@@ -57,7 +57,7 @@ def _chol_from_args(args):
     if ordering == "nd-grid" and grid_shape is None:
         raise SystemExit("nd-grid ordering requires a generated grid matrix")
     if ordering == "auto-grid":
-        ordering = "nd-grid" if grid_shape is not None else "amd"
+        ordering = "nd-grid" if grid_shape is not None else "auto"
     t0 = time.time()
     F = chol(
         A,
