@@ -604,17 +604,22 @@ def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
     # extend past the block's m true rows (w not a lane multiple, small
     # mb); pad rows are zero and factor to identity via the dead-lane term
     M = max(m, nseg * LANE)
-    for k in range(nseg):
-        j0 = k // ndev
-        oc = (s + k) % ndev
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+
+    def read_seg(j):
+        return jax.lax.dynamic_slice(Lx, (segst[j], jnp.int32(0)), (m, LANE))
+
+    def write_seg(j, S):
+        return jax.lax.dynamic_update_slice(Lx, S, (segst[j], jnp.int32(0)))
+
+    def candidate(k, seg):
+        """Factor the 128-wide column panel of segment k from its (fully
+        updated) local chunk; returns (cand [M,128], min pivot)."""
         wk = min(LANE, w - k * LANE)
-        own = me == oc
-        seg = jax.lax.dynamic_slice(Lx, (segst[j0], jnp.int32(0)), (m, LANE))
         segp = jnp.pad(seg, ((0, M - m), (0, 0))) if M > m else seg
         D = segp[k * LANE : (k + 1) * LANE]
         D = jnp.tril(D) + jnp.swapaxes(jnp.tril(D, -1), 0, 1)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-        mm = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
         dead = (cc >= wk) | (mm + k * LANE >= m)
         D = D + ((rr == cc) & dead).astype(dtype)         # dead ident
         Lkk = jnp.linalg.cholesky(D)
@@ -626,38 +631,63 @@ def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
             Lkk, rest, left_side=False, lower=True, transpose_a=True
         )
         Lkk_m = jnp.where(cc < wk, Lkk, 0.0)              # zero dead lanes
-        cand = jnp.concatenate(
+        return jnp.concatenate(
             [jnp.zeros((k * LANE, LANE), dtype), Lkk_m, L21s], axis=0
-        )
-        panel = jax.lax.psum(jnp.where(own, cand, 0.0), axis)  # [M, 128]
-        minpiv = jnp.minimum(
-            minpiv, jax.lax.psum(jnp.where(own, piv, 0.0), axis)
-        )
-        Lx = jax.lax.dynamic_update_slice(
-            Lx, jnp.where(own, panel[:m], seg), (segst[j0], jnp.int32(0))
-        )
-        # trailing right-looking update on my own later segments
+        ), piv
+
+    def seg_update(k, panel, j, S):
+        """Apply broadcast panel k's trailing update to slot j's chunk."""
+        kj = segid[j]
+        valid = (kj > k) & (kj >= 0)
+        wj = jnp.clip(w - kj * LANE, 0, LANE)
         panelp = jnp.concatenate(
             [panel, jnp.zeros((LANE, LANE), dtype)], axis=0
         )
+        Pj = jax.lax.dynamic_slice(
+            panelp, (jnp.maximum(kj, 0) * LANE, jnp.int32(0)), (LANE, LANE)
+        )
+        Pj = jnp.where(rr < wj, Pj, 0.0)
+        upd = jnp.einsum("ik,jk->ij", panel[:m], Pj,
+                         preferred_element_type=dtype)
+        return S - jnp.where(valid, 1.0, 0.0) * upd
+
+    # Software-pipelined column-cyclic LLT (the comm/compute overlap,
+    # SURVEY.md §7 step 7): after panel k's broadcast lands, the chip
+    # holding segment k+1 updates THAT slot first and issues segment
+    # k+1's masked-psum broadcast; the remaining slots' rank-128 trailing
+    # updates are dataflow-independent of it, so XLA's latency-hiding
+    # scheduler runs the k+1 collective concurrently with panel k's
+    # trailing compute.
+    own0 = me == (s + 0) % ndev
+    cand, piv = candidate(0, read_seg(0))
+    panel = jax.lax.psum(jnp.where(own0, cand, 0.0), axis)
+    minpiv = jnp.minimum(
+        minpiv, jax.lax.psum(jnp.where(own0, piv, 0.0), axis)
+    )
+    Lx = write_seg(0, jnp.where(own0, panel[:m], read_seg(0)))
+    for k in range(nseg):
+        nxt = k + 1
+        if nxt < nseg:
+            jn = nxt // ndev
+            ownn = me == (s + nxt) % ndev
+            # early-update the next panel's slot, factor, issue broadcast
+            Sn = seg_update(k, panel, jn, read_seg(jn))
+            Lx = write_seg(jn, Sn)
+            candn, pivn = candidate(nxt, Sn)
+            paneln = jax.lax.psum(jnp.where(ownn, candn, 0.0), axis)
+            minpiv = jnp.minimum(
+                minpiv, jax.lax.psum(jnp.where(ownn, pivn, 0.0), axis)
+            )
+        # trailing updates on the remaining slots overlap the broadcast
         for j in range(nsegc):
-            kj = segid[j]
-            valid = (kj > k) & (kj >= 0)
-            wj = jnp.clip(w - kj * LANE, 0, LANE)
-            Pj = jax.lax.dynamic_slice(
-                panelp, (jnp.maximum(kj, 0) * LANE, jnp.int32(0)),
-                (LANE, LANE),
-            )
-            Pj = jnp.where(rr < wj, Pj, 0.0)
-            upd = jnp.einsum("ik,jk->ij", panel[:m], Pj,
-                             preferred_element_type=dtype)
-            S = jax.lax.dynamic_slice(
-                Lx, (segst[j], jnp.int32(0)), (m, LANE)
-            )
-            S = S - jnp.where(valid, 1.0, 0.0) * upd
-            Lx = jax.lax.dynamic_update_slice(
-                Lx, S, (segst[j], jnp.int32(0))
-            )
+            if nxt < nseg and j == nxt // ndev:
+                continue  # already updated above
+            Lx = write_seg(j, seg_update(k, panel, j, read_seg(j)))
+        if nxt < nseg:
+            jn = nxt // ndev
+            ownn = me == (s + nxt) % ndev
+            Lx = write_seg(jn, jnp.where(ownn, paneln[:m], read_seg(jn)))
+            panel = paneln
     minpivs.append(minpiv[None])
 
     # partial Schur update to ancestors from my own columns
