@@ -90,6 +90,12 @@ STORE_TAIL_PAD = 256
 _PAD_PROFILES = {
     "fine": (
         (8, 16, 32, 64, 128),
+        (8, 16, 24, 32, 48, 64, 80, 96, 128, 160, 192, 224, 256, 320, 384,
+         448, 512, 640, 768, 896, 1024, 1280, 1536),
+        256,
+    ),
+    "fine-r1": (   # round-1 tier set, kept for comparison
+        (8, 16, 32, 64, 128),
         (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024),
         512,
     ),
@@ -245,13 +251,18 @@ class Bucket:
     def g_pad(self) -> int:
         return 0 if self.up is None else self.up.shape[2]
 
-    def flops(self) -> int:
+    def flops(self, itemsize: int = 4) -> int:
         """MXU flops actually issued for this bucket (padded shapes):
-        panel LLT + TRSM + the lane-aligned extend-add matmuls."""
+        panel LLT + TRSM + the lane-aligned extend-add matmuls.  The
+        extend-add term follows the executed chunk schedule
+        (update_chunks + the per-tile owner bound utile_g), not the full
+        [G_pad, mb_pad] grid."""
         B, w, mb = self.batch, self.w_pad, self.mb_pad
         f = B * (w**3 // 3 + w * w * mb)
         if mb:
-            f += B * self.g_pad * 2 * mb * w * LANE
+            for _ti, i0, i1, gt, b0, b1 in update_chunks(
+                    B, mb, self.g_pad, self.utile_g, itemsize):
+                f += (b1 - b0) * gt * (i1 - i0) * LANE * w * 2
         return f
 
 
