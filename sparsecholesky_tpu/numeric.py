@@ -69,12 +69,17 @@ class _BucketArrays:
     rstart: jax.Array | None = None   # first store row of the RMW window
     rcoff: jax.Array | None = None    # first row of the window's C slice
     rlen: jax.Array | None = None     # packed (uoff << 8) | valid length
+    # region tables for region-packed chunks (see _pack_windows):
+    rgrow: jax.Array | None = None    # first store row of each region tile
+    rgnf: jax.Array | None = None     # packed (windows-in-region << 1)|flag
+    rgwoff: jax.Array | None = None   # first window index of each region
 
     def tree_flatten(self):
         return (
             self.row0, self.w, self.mb, self.col_idx, self.below_idx,
             self.ug, self.ujloc, self.up, self.urow0, self.ustride,
             self.uj0, self.uG, self.rstart, self.rcoff, self.rlen,
+            self.rgrow, self.rgnf, self.rgwoff,
         ), None
 
     @classmethod
@@ -121,19 +126,31 @@ _FIELDS = ("row0", "w", "mb", "col_idx", "below_idx",
            "ug", "ujloc", "up", "urow0", "ustride", "uj0", "uG")
 
 #: extend-add window-table fields (compiled here, not in the plan buckets)
-_RUN_FIELDS = ("rstart", "rcoff", "rlen")
+_RUN_FIELDS = ("rstart", "rcoff", "rlen", "rgrow", "rgnf", "rgwoff")
 
 #: DMA pipeline depth of the extend-add kernel (ops/extend_add.py); the
 #: hazard scheduler spaces conflicting windows at least this far apart
 RUN_NBUF = 4
 
+# Cost model constants (v5e measurements, CLAUDE.md): per-window cost of
+# the pipelined window kernel, and per-region / per-window costs of the
+# region-batched kernel.  Used to pick the packing per update chunk.
+_WIN_NS = lambda T: 250 + 4 * T
+_REGION_NS = 2300          # region in+out DMA (2 x REGION_BLK x 512B) + issue
+_REGION_WIN_NS = 170       # U DMA + VMEM add per window inside a region
 
-def _window_table(b, utile_g, dummy_row: int, itemsize: int, T: int):
-    """Compile one plan bucket's raw update runs (plan.Bucket.runs_raw)
-    into the hazard-scheduled RMW window table consumed by
-    apply_schur_update's "runs" modes.  Windows of all update chunks are
-    concatenated; returns (rstart, rcoff, rlen, per-chunk counts).
 
+def _chunk_mode(nw: int, nrg: int, T: int) -> str:
+    """Pick the cheaper extend-add packing for one chunk (modeled)."""
+    win = nw * _WIN_NS(T)
+    reg = nrg * _REGION_NS + nw * _REGION_WIN_NS
+    return "region" if reg < win else "interleave"
+
+
+def _chunk_windows(b, utile_g, itemsize: int, T: int):
+    """Raw (unordered) RMW windows of one bucket, per update chunk.
+
+    Returns (list of (ws, wc, wl) per chunk, list of NC per chunk).
     rlen packs (uoff << 8) | valid_length: windows whose T-row U-tile DMA
     would overrun the chunk's C buffer are shifted back by uoff rows (both
     in C and in the store) and their valid rows sit at offset uoff inside
@@ -143,7 +160,7 @@ def _window_table(b, utile_g, dummy_row: int, itemsize: int, T: int):
     rr = b.runs_raw
     have = rr is not None and len(rr)
     tile_of = rr[:, 2] // _UPDATE_TILE if have else None
-    outs, outc, outl, counts, ncs = [], [], [], [], []
+    wins, ncs = [], []
     for ti, i0, i1, gt, b0, b1 in update_chunks(
             b.batch, b.mb_pad, b.g_pad, utile_g, itemsize):
         tlen = i1 - i0
@@ -152,7 +169,7 @@ def _window_table(b, utile_g, dummy_row: int, itemsize: int, T: int):
         sub = (rr[(tile_of == ti) & (rr[:, 0] >= b0) & (rr[:, 0] < b1)]
                .astype(np.int64) if have else np.zeros((0, 5), np.int64))
         if not len(sub):
-            counts.append(0)
+            wins.append((np.zeros(0, np.int64),) * 3)
             continue
         coff = ((sub[:, 0] - b0) * gt + sub[:, 1]) * tlen + (sub[:, 2] - i0)
         # chunk each run into T-row windows
@@ -166,16 +183,62 @@ def _window_table(b, utile_g, dummy_row: int, itemsize: int, T: int):
         uoff = np.maximum(0, wc + T - NC)
         if (ws < uoff).any():
             raise AssertionError("extend-add window underflows the store")
-        ws = ws - uoff
-        wc = wc - uoff
-        wl = (uoff << 8) | wl
+        wins.append((ws - uoff, wc - uoff, (uoff << 8) | wl))
+    return wins, ncs
+
+
+def _pack_windows(ws, wc, wl, NC, mode: str, dummy_row: int, T: int):
+    """Order one chunk's windows for execution.
+
+    "interleave": hazard-scheduled for the pipelined window kernel
+    (_hazard_schedule); no region table.
+    "region": sorted by store row and grouped into fixed REGION_BLK-row
+    tiles for the region kernel — intra-region conflicts serialize in
+    VMEM, adjacent-tile overlap is flagged for a write-back wait.
+
+    Returns (ws, wc, wl, rgrow, rgnf, rgwoff)."""
+    z = np.zeros(0, np.int64)
+    if mode != "region":
         ws, wc, wl = _hazard_schedule(ws, wc, wl, dummy_row, NC - T, T)
-        outs.append(ws)
-        outc.append(wc)
-        outl.append(wl)
-        counts.append(len(ws))
+        return ws, wc, wl, z, z, z
+    from .plan import REGION_BLK
+
+    order = np.argsort(ws, kind="stable")
+    ws, wc, wl = ws[order], wc[order], wl[order]
+    stride = REGION_BLK - T
+    rgid = ws // stride
+    change = np.flatnonzero(np.diff(rgid)) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    rgrow = rgid[starts] * stride
+    rgn = np.diff(np.concatenate([starts, [len(ws)]]))
+    flag = np.concatenate(
+        [[0], (np.diff(rgid[starts]) == 1).astype(np.int64)]
+    )
+    return ws, wc, wl, rgrow, rgn * 2 + flag, starts
+
+
+def _pack_table(wins, ncs, modes, dummy_row: int, T: int):
+    """Pack one bucket's per-chunk windows with the given per-chunk modes.
+    Returns (rstart, rcoff, rlen, rgrow, rgnf, rgwoff, (nw, nrg) counts)."""
+    outs = [[] for _ in range(6)]
+    counts = []
+    for ci, (ws, wc, wl) in enumerate(wins):
+        mode = modes[ci] if not isinstance(modes, str) else modes
+        packed = _pack_windows(ws, wc, wl, ncs[ci], mode, dummy_row, T)
+        for o, p in zip(outs, packed):
+            o.append(p)
+        counts.append((len(packed[0]), len(packed[3])))
     cat = lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int64)
-    return cat(outs), cat(outc), cat(outl), tuple(counts), tuple(ncs)
+    return (*[cat(o) for o in outs], tuple(counts))
+
+
+def _window_table(b, utile_g, dummy_row: int, itemsize: int, T: int,
+                  modes="interleave"):
+    """Compile one plan bucket's raw update runs into per-chunk packed
+    window (+ optional region) tables.  Returns (rstart, rcoff, rlen,
+    rgrow, rgnf, rgwoff, per-chunk (nw, nrg) counts, per-chunk NC)."""
+    wins, ncs = _chunk_windows(b, utile_g, itemsize, T)
+    return (*_pack_table(wins, ncs, modes, dummy_row, T), tuple(ncs))
 
 
 def _hazard_schedule(ws, wc, wl, dummy_row, dummy_coff, T, nbuf=RUN_NBUF):
@@ -288,30 +351,71 @@ def build_runs(plan: FactorizePlan):
         # utile_g, so they compile here, not in the plan) ------------------
         rchunks: tuple = ()
         if group[0].mb_pad:
-            tabs = [_window_table(b, utile_g, dummy_row, itemsize, rtile)
-                    for b in group]
-            counts0 = [t[3] for t in tabs]
-            ncl = tabs[0][4]
+            from .plan import REGION_BLK
+
+            allwins = [_chunk_windows(b, utile_g, itemsize, rtile)
+                       for b in group]
+            ncl = allwins[0][1]
             ncs = len(ncl)
-            maxn = tuple(max(c[ch] for c in counts0) for ch in range(ncs))
+            # group-consistent per-chunk packing choice (scan bodies are
+            # shared traces, so every member must take the same branch)
+            stride = REGION_BLK - rtile
+            modes = []
+            for ch in range(ncs):
+                nw = sum(len(w[0][ch][0]) for w in allwins)
+                nrg = sum(
+                    len(np.unique(w[0][ch][0] // stride)) for w in allwins
+                )
+                modes.append(_chunk_mode(nw, nrg, rtile)
+                             if nw else "interleave")
+            tabs = [_pack_table(wins, ncl, modes, dummy_row, rtile)
+                    for wins, _nc in allwins]
+            counts0 = [t[6] for t in tabs]
+            maxn = tuple(
+                (max(c[ch][0] for c in counts0),
+                 max(c[ch][1] for c in counts0))
+                for ch in range(ncs)
+            )
             rchunks = maxn
             stacked = {f: [] for f in _RUN_FIELDS}
-            for rs, rc, rl, counts, _nc in tabs:
+            for rs, rc, rl, rg, rn, rw, counts in tabs:
                 segs = {f: [] for f in _RUN_FIELDS}
-                off = 0
+                woff = goff = 0
                 for ch in range(ncs):
-                    cnt = counts[ch]
-                    segs["rstart"].append(rs[off:off + cnt])
-                    segs["rcoff"].append(rc[off:off + cnt])
-                    segs["rlen"].append(rl[off:off + cnt])
-                    pad = maxn[ch] - cnt
-                    if pad:
+                    nw, nrg = counts[ch]
+                    mw, mg = maxn[ch]
+                    segs["rstart"].append(rs[woff:woff + nw])
+                    segs["rcoff"].append(rc[woff:woff + nw])
+                    segs["rlen"].append(rl[woff:woff + nw])
+                    padw = mw - nw
+                    if padw:
                         segs["rstart"].append(
-                            np.full(pad, dummy_row, np.int64))
+                            np.full(padw, dummy_row, np.int64))
                         segs["rcoff"].append(
-                            np.full(pad, ncl[ch] - rtile, np.int64))
-                        segs["rlen"].append(np.zeros(pad, np.int64))
-                    off += cnt
+                            np.full(padw, ncl[ch] - rtile, np.int64))
+                        segs["rlen"].append(np.zeros(padw, np.int64))
+                    segs["rgrow"].append(rg[goff:goff + nrg])
+                    segs["rgnf"].append(rn[goff:goff + nrg])
+                    segs["rgwoff"].append(rw[goff:goff + nrg])
+                    padg = mg - nrg
+                    padrow = dummy_row - (REGION_BLK - rtile)
+                    if padw and modes[ch] == "region":
+                        # attach this member's dummy windows to a pad
+                        # region in the dead tail (flagged: serialize
+                        # behind the previous region's write-back)
+                        segs["rgrow"].append(
+                            np.asarray([padrow], np.int64))
+                        segs["rgnf"].append(
+                            np.asarray([padw * 2 + 1], np.int64))
+                        segs["rgwoff"].append(np.asarray([nw], np.int64))
+                        padg -= 1
+                    if padg > 0:
+                        segs["rgrow"].append(
+                            np.full(padg, padrow, np.int64))
+                        segs["rgnf"].append(np.zeros(padg, np.int64))
+                        segs["rgwoff"].append(np.full(padg, mw, np.int64))
+                    woff += nw
+                    goff += nrg
                 for f in _RUN_FIELDS:
                     stacked[f].append(np.concatenate(segs[f])
                                       if segs[f] else np.zeros(0, np.int64))
@@ -504,6 +608,7 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
         utile_g = (G_pad,) * ntiles
     itemsize = jnp.dtype(dtype).itemsize
     roff = 0
+    goff = 0
     for ci, (ti, i0, i1, gt, b0, b1) in enumerate(update_chunks(
             B, mb_pad, G_pad, utile_g, itemsize)):
         C = jnp.einsum(
@@ -531,9 +636,8 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
             )
             continue
         # ---- window-table paths ----------------------------------------
-        nw = rchunks[ci]
+        nw, nrg = rchunks[ci] if rchunks else (0, 0)
         if not nw:
-            roff += nw
             continue
         Cf = C.reshape(-1, LANE)
         if Cf.shape[0] < T:              # tiny chunk: pad to one window
@@ -542,11 +646,20 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
         rc = jax.lax.slice(b.rcoff, (roff,), (roff + nw,))
         rl = jax.lax.slice(b.rlen, (roff,), (roff + nw,))
         roff += nw
-        if extend == "runs_pallas":
+        if extend == "runs_pallas" and nrg:
+            from .ops.extend_add import region_rmw
+
+            rg = jax.lax.slice(b.rgrow, (goff,), (goff + nrg,))
+            rn = jax.lax.slice(b.rgnf, (goff,), (goff + nrg,))
+            rw = jax.lax.slice(b.rgwoff, (goff,), (goff + nrg,))
+            goff += nrg
+            Lx = region_rmw(Lx, Cf, rs, rc, rl, rg, rn, rw, T=T)
+        elif extend == "runs_pallas":
             from .ops.extend_add import run_rmw
 
             Lx = run_rmw(Lx, Cf, rs, rc, rl, T=T)
         else:
+            goff += nrg
             uoff = rl >> 8
             vlen = rl & 0xFF
             kk = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)

@@ -34,10 +34,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..plan import LANE, RUN_TILE  # noqa: F401  (RUN_TILE: default T)
+from ..plan import LANE, RUN_TILE, REGION_BLK  # noqa: F401
 
 #: in-flight window pipeline depth; must equal numeric.RUN_NBUF
 NBUF = 4
+
+#: U-tile prefetch depth of the region kernel
+NUBUF = 8
 
 
 def _rmw_kernel(rstart_ref, rcoff_ref, rlen_ref, c_hbm, lx_ref, _out,
@@ -129,3 +132,129 @@ def run_rmw(Lx, Cf, rstart, rcoff, rlen, *, T: int = RUN_TILE,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(rstart, rcoff, rlen, Cf, Lx)
+
+
+# ---------------------------------------------------------------------------
+# Region-batched RMW: windows sorted by store row and grouped into fixed
+# REGION_BLK-row tiles (numeric._pack_windows "region" mode).  One region
+# DMA pair amortizes all its windows' read-modify-writes (the window
+# kernel above pays ~3 DMA issues per window; here a window costs one
+# U-tile DMA + one VMEM add).  Conflicts inside a region serialize in
+# VMEM; adjacent tiles overlap by up to T rows, so a region flagged in
+# rgnf waits for its predecessor's write-back before reading.
+
+
+def _region_kernel(rgrow_ref, rgnf_ref, rgwoff_ref, rstart_ref, rcoff_ref,
+                   rlen_ref, c_hbm, lx_ref, _out, wbuf, ubuf, wsem, usem,
+                   *, nrg: int, nw: int, T: int, RB: int):
+    def rg_in(slot, r):
+        return pltpu.make_async_copy(
+            lx_ref.at[pl.ds(rgrow_ref[r], RB)], wbuf.at[slot],
+            wsem.at[slot, 0],
+        )
+
+    def rg_out(slot, r):
+        return pltpu.make_async_copy(
+            wbuf.at[slot], lx_ref.at[pl.ds(rgrow_ref[r], RB)],
+            wsem.at[slot, 1],
+        )
+
+    def u_in(slot, wi):
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(rcoff_ref[wi], T)], ubuf.at[slot],
+            usem.at[slot],
+        )
+
+    kk = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    for i in range(min(NUBUF, nw)):
+        u_in(i, i).start()
+    rg_in(0, 0).start()
+
+    def body(r, _):
+        slot = r % 2
+        rg_in(slot, r).wait()
+        base = rgrow_ref[r]
+        n = rgnf_ref[r] >> 1
+        w0 = rgwoff_ref[r]
+
+        def wbody(i, _c):
+            wi = w0 + i
+            su = wi % NUBUF
+            u_in(su, wi).wait()
+            packed = rlen_ref[wi]
+            uoff = packed >> 8
+            vlen = packed & 0xFF
+            off = rstart_ref[wi] - base
+            mask = (kk >= uoff) & (kk < uoff + vlen)
+            cur = wbuf[slot, pl.ds(off, T)]
+            wbuf[slot, pl.ds(off, T)] = cur - jnp.where(
+                mask, ubuf[su], 0.0
+            )
+
+            @pl.when(wi + NUBUF < nw)
+            def _():
+                u_in(su, wi + NUBUF).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, n, wbody, 0, unroll=False)
+        rg_out(slot, r).start()
+
+        @pl.when(r + 1 < nrg)
+        def _():
+            nslot = (r + 1) % 2
+            # slot reuse: wait region r-1's write-back UNLESS it was
+            # already consumed by iteration r-1's overlap wait (each out
+            # semaphore must be waited exactly once)
+            @pl.when((r >= 1) & ((rgnf_ref[r] & 1) == 0))
+            def _():
+                rg_out(nslot, r - 1).wait()
+
+            @pl.when((rgnf_ref[r + 1] & 1) == 1)
+            def _():
+                rg_out(slot, r).wait()        # adjacent-tile overlap
+
+            rg_in(nslot, r + 1).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, nrg, body, 0, unroll=False)
+    # drain outstanding write-backs (respecting single-wait semantics)
+    rg_out((nrg - 1) % 2, nrg - 1).wait()
+    if nrg >= 2:
+        @pl.when((rgnf_ref[nrg - 1] & 1) == 0)
+        def _():
+            rg_out((nrg - 2) % 2, nrg - 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def region_rmw(Lx, Cf, rstart, rcoff, rlen, rgrow, rgnf, rgwoff, *,
+               T: int = RUN_TILE, interpret: bool = False):
+    """Region-batched variant of run_rmw (see module section above)."""
+    nw = rstart.shape[0]
+    nrg = rgrow.shape[0]
+    kern = functools.partial(_region_kernel, nrg=nrg, nw=nw, T=T,
+                             RB=REGION_BLK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Cf stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Lx stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, REGION_BLK, LANE), Lx.dtype),
+            pltpu.VMEM((NUBUF, T, LANE), Lx.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((NUBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(Lx.shape, Lx.dtype),
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(rgrow, rgnf, rgwoff, rstart, rcoff, rlen, Cf, Lx)

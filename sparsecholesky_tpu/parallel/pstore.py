@@ -345,20 +345,24 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
             spec[f] = (offs[f], out.shape[1:])
             offs[f] += flat2.shape[1]
         if use_runs and cbuckets[0].mb_pad:
+            # sharded path packs interleave-mode windows only (the region
+            # kernel is a single-chip optimization for now)
             tabs = [
                 _window_table(cb, cbuckets[0].utile_g, dummy_row, itemsize,
-                              plan.run_tile)
+                              plan.run_tile, modes="interleave")
                 for cb in cbuckets
             ]
-            ncs = len(tabs[0][3])
-            maxn = tuple(max(t[3][ch] for t in tabs) for ch in range(ncs))
+            ncl = tabs[0][7]
+            ncs = len(ncl)
+            maxn = tuple(max(t[6][ch][0] for t in tabs) for ch in range(ncs))
             names = ("rstart", "rcoff", "rlen")
             stacked = {f: [] for f in names}
-            for rs, rc, rl, counts, ncl in tabs:
+            for tab in tabs:
+                rs, rc, rl, counts = tab[0], tab[1], tab[2], tab[6]
                 segs = {f: [] for f in names}
                 off = 0
                 for ch in range(ncs):
-                    cnt = counts[ch]
+                    cnt = counts[ch][0]
                     segs["rstart"].append(rs[off:off + cnt])
                     segs["rcoff"].append(rc[off:off + cnt])
                     segs["rlen"].append(rl[off:off + cnt])
@@ -378,7 +382,7 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
                 chunks[f].append(flat2)
                 spec[f] = (offs[f], out.shape[1:])
                 offs[f] += flat2.shape[1]
-            rchunks.append(maxn)
+            rchunks.append(tuple((n, 0) for n in maxn))
         else:
             rchunks.append(())
         for f in _RUN_FIELDS:

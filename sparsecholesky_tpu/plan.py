@@ -76,11 +76,18 @@ from .symbolic import SymbolicFactor, analyze
 LANE = 128
 
 # Dead store rows appended past the last supernode block so run-granular
-# RMW windows (ops/extend_add.py) may safely overrun block boundaries by
-# up to one run tile.  These rows are ordinary dead rows: they stay zero
-# (only ever receive masked +0), and the out-of-bounds sentinel row index
-# R_L stays one past the allocation as before.
-STORE_TAIL_PAD = 256
+# RMW windows and region tiles (ops/extend_add.py) may safely overrun
+# block boundaries, and so dummy windows/regions have a home.  These rows
+# are ordinary dead rows: they stay zero (only ever receive masked +0),
+# and the out-of-bounds sentinel row index R_L stays one past the
+# allocation as before.  Must be >= REGION_BLK + max run tile.
+STORE_TAIL_PAD = 1152
+
+# Region tile of the region-batched extend-add kernel: windows sorted by
+# target row are grouped into fixed tiles of REGION_BLK store rows
+# (stride REGION_BLK - T so a window never straddles its tile); the
+# kernel DMAs each region once and applies all its windows in VMEM.
+REGION_BLK = 1024
 
 # Padding tiers. Second-to-last dim of a f32 tile is 8; lane dim 128.
 # Profiles trade padding waste (issued flops) against step-shape diversity

@@ -62,9 +62,10 @@ def test_window_table_covers_all_updates():
         for b in lev:
             if b.up is None:
                 continue
-            rs, rc, rl, counts, _ncs = numeric._window_table(
+            rs, rc, rl, _rg, _rn, _rw, pcounts, _ncs = numeric._window_table(
                 b, b.utile_g, 10**9, itemsize, T
             )
+            counts = [nw for nw, _nrg in pcounts]
             # collect (store_row, chunk_idx, c_row) from windows
             got = set()
             off = 0
@@ -119,3 +120,45 @@ def test_run_tile_selection_bounds():
     from sparsecholesky_tpu.plan import _RUN_TILES
 
     assert plan.run_tile in _RUN_TILES
+
+
+def test_region_packing_covers_and_is_wellformed():
+    """Region-mode packing must cover the same windows, keep each window
+    inside its REGION_BLK tile, and set overlap flags for adjacent
+    tiles."""
+    from sparsecholesky_tpu.plan import REGION_BLK
+
+    A = poisson2d(16)
+    plan = compile_plan(A, dtype=np.float32)
+    T = plan.run_tile
+    itemsize = plan.dtype.itemsize
+    stride = REGION_BLK - T
+    checked = 0
+    for lev in plan.levels:
+        for b in lev:
+            if b.up is None:
+                continue
+            wins, ncs = numeric._chunk_windows(b, b.utile_g, itemsize, T)
+            for ci, (ws, wc, wl) in enumerate(wins):
+                if not len(ws):
+                    continue
+                rs, rc, rl, rg, rn, rw = numeric._pack_windows(
+                    ws, wc, wl, ncs[ci], "region", 10**9, T
+                )
+                # same multiset of windows
+                assert sorted(zip(ws, wc, wl)) == sorted(zip(rs, rc, rl))
+                # region structure
+                n = rn >> 1
+                flag = rn & 1
+                assert n.sum() == len(rs)
+                assert (rw == np.concatenate([[0], np.cumsum(n)[:-1]])).all()
+                for gi in range(len(rg)):
+                    sl = slice(rw[gi], rw[gi] + n[gi])
+                    off = rs[sl] - rg[gi]
+                    assert (off >= 0).all() and (off + T <= REGION_BLK).all()
+                # flags iff adjacent tiles
+                if len(rg) > 1:
+                    adj = (np.diff(rg) == stride)
+                    assert (flag[1:] == adj.astype(flag.dtype)).all()
+                checked += 1
+    assert checked > 0
