@@ -139,6 +139,15 @@ _WIN_NS = lambda T: 250 + 4 * T
 _REGION_NS = 2300          # region in+out DMA (2 x REGION_BLK x 512B) + issue
 _REGION_WIN_NS = 170       # U DMA + VMEM add per window inside a region
 
+#: scalar-prefetch byte budget per extend-add kernel call: the v5e has
+#: 1 MiB of SMEM and the window tables ride it whole (region mode: 8 B
+#: per window + 12 B per region; interleave: 12 B per window).  Region
+#: packing is rejected for chunks over budget; oversized interleave
+#: tables split into multiple kernel calls (safe: consecutive calls are
+#: serialized by the Lx data dependency, a stronger barrier than the
+#: in-call hazard spacing).
+SMEM_CAP = 900_000
+
 
 def _chunk_mode(nw: int, nrg: int, T: int) -> str:
     """Pick the cheaper extend-add packing for one chunk (modeled)."""
@@ -194,7 +203,11 @@ def _pack_windows(ws, wc, wl, NC, mode: str, dummy_row: int, T: int):
     (_hazard_schedule); no region table.
     "region": sorted by store row and grouped into fixed REGION_BLK-row
     tiles for the region kernel — intra-region conflicts serialize in
-    VMEM, adjacent-tile overlap is flagged for a write-back wait.
+    VMEM, adjacent-tile overlap is flagged for a write-back wait.  The
+    returned wl additionally packs the window's row offset inside its
+    region into bits 16+ (the kernel's whole per-window scalar state is
+    then (wc, wl) — 8 B of SMEM); ws keeps the absolute store row for
+    the runs_xla reference path.
 
     Returns (ws, wc, wl, rgrow, rgnf, rgwoff)."""
     z = np.zeros(0, np.int64)
@@ -214,7 +227,8 @@ def _pack_windows(ws, wc, wl, NC, mode: str, dummy_row: int, T: int):
     flag = np.concatenate(
         [[0], (np.diff(rgid[starts]) == 1).astype(np.int64)]
     )
-    return ws, wc, wl, rgrow, rgn * 2 + flag, starts
+    return (ws, wc, wl | ((ws - rgid * stride) << 16),
+            rgrow, rgn * 2 + flag, starts)
 
 
 def _pack_table(wins, ncs, modes, dummy_row: int, T: int):
@@ -362,20 +376,35 @@ def build_runs(plan: FactorizePlan):
             stride = REGION_BLK - rtile
             modes = []
             for ch in range(ncs):
-                nw = sum(len(w[0][ch][0]) for w in allwins)
-                nrg = sum(
-                    len(np.unique(w[0][ch][0] // stride)) for w in allwins
-                )
-                modes.append(_chunk_mode(nw, nrg, rtile)
-                             if nw else "interleave")
+                per_w = [len(w[0][ch][0]) for w in allwins]
+                per_g = [len(np.unique(w[0][ch][0] // stride))
+                         for w in allwins]
+                nw, nrg = sum(per_w), sum(per_g)
+                mode = _chunk_mode(nw, nrg, rtile) if nw else "interleave"
+                # region tables ride SMEM whole per kernel call (the
+                # padded per-member max): over budget -> interleave,
+                # which the apply site can split into multiple calls
+                if (mode == "region"
+                        and max(per_w) * 8 + (max(per_g) + 2) * 12
+                        > SMEM_CAP):
+                    mode = "interleave"
+                modes.append(mode)
             tabs = [_pack_table(wins, ncl, modes, dummy_row, rtile)
                     for wins, _nc in allwins]
             counts0 = [t[6] for t in tabs]
-            maxn = tuple(
-                (max(c[ch][0] for c in counts0),
-                 max(c[ch][1] for c in counts0))
-                for ch in range(ncs)
-            )
+            # region-mode members with fewer windows than the group max
+            # append one flagged pad region (below) — the padded region
+            # count must cover it, or the scan stack shapes diverge
+            maxn = []
+            for ch in range(ncs):
+                mw = max(c[ch][0] for c in counts0)
+                mg = max(
+                    c[ch][1] + (1 if modes[ch] == "region"
+                                and c[ch][0] < mw else 0)
+                    for c in counts0
+                )
+                maxn.append((mw, mg))
+            maxn = tuple(maxn)
             rchunks = maxn
             stacked = {f: [] for f in _RUN_FIELDS}
             for rs, rc, rl, rg, rn, rw, counts in tabs:
@@ -393,7 +422,13 @@ def build_runs(plan: FactorizePlan):
                             np.full(padw, dummy_row, np.int64))
                         segs["rcoff"].append(
                             np.full(padw, ncl[ch] - rtile, np.int64))
-                        segs["rlen"].append(np.zeros(padw, np.int64))
+                        # region-mode pads live in a pad region based at
+                        # dummy_row - stride, so their in-region offset
+                        # (rlen bits 16+) is stride; vlen stays 0
+                        segs["rlen"].append(
+                            np.full(padw, stride << 16, np.int64)
+                            if modes[ch] == "region"
+                            else np.zeros(padw, np.int64))
                     segs["rgrow"].append(rg[goff:goff + nrg])
                     segs["rgnf"].append(rn[goff:goff + nrg])
                     segs["rgwoff"].append(rw[goff:goff + nrg])
@@ -653,14 +688,21 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
             rn = jax.lax.slice(b.rgnf, (goff,), (goff + nrg,))
             rw = jax.lax.slice(b.rgwoff, (goff,), (goff + nrg,))
             goff += nrg
-            Lx = region_rmw(Lx, Cf, rs, rc, rl, rg, rn, rw, T=T)
+            Lx = region_rmw(Lx, Cf, rc, rl, rg, rn, rw, T=T)
         elif extend == "runs_pallas":
             from .ops.extend_add import run_rmw
 
-            Lx = run_rmw(Lx, Cf, rs, rc, rl, T=T)
+            # oversized tables split into SMEM-sized calls; the call
+            # boundary is a full barrier (Lx dependency), so hazard
+            # spacing only needs to hold inside each slice — and slices
+            # are contiguous ranges of the hazard-scheduled order
+            cap = SMEM_CAP // 12
+            for s in range(0, nw, cap):
+                e = min(nw, s + cap)
+                Lx = run_rmw(Lx, Cf, rs[s:e], rc[s:e], rl[s:e], T=T)
         else:
             goff += nrg
-            uoff = rl >> 8
+            uoff = (rl >> 8) & 0xFF
             vlen = rl & 0xFF
             kk = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
             valid = (kk >= uoff[:, None]) & (kk < (uoff + vlen)[:, None])

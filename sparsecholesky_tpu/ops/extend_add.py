@@ -144,7 +144,7 @@ def run_rmw(Lx, Cf, rstart, rcoff, rlen, *, T: int = RUN_TILE,
 # rgnf waits for its predecessor's write-back before reading.
 
 
-def _region_kernel(rgrow_ref, rgnf_ref, rgwoff_ref, rstart_ref, rcoff_ref,
+def _region_kernel(rgrow_ref, rgnf_ref, rgwoff_ref, rcoff_ref,
                    rlen_ref, c_hbm, lx_ref, _out, wbuf, ubuf, wsem, usem,
                    *, nrg: int, nw: int, T: int, RB: int):
     def rg_in(slot, r):
@@ -173,7 +173,6 @@ def _region_kernel(rgrow_ref, rgnf_ref, rgwoff_ref, rstart_ref, rcoff_ref,
     def body(r, _):
         slot = r % 2
         rg_in(slot, r).wait()
-        base = rgrow_ref[r]
         n = rgnf_ref[r] >> 1
         w0 = rgwoff_ref[r]
 
@@ -181,10 +180,15 @@ def _region_kernel(rgrow_ref, rgnf_ref, rgwoff_ref, rstart_ref, rcoff_ref,
             wi = w0 + i
             su = wi % NUBUF
             u_in(su, wi).wait()
+            # region windows pack (row offset inside the region << 16) |
+            # (uoff << 8) | valid_length into one SMEM word — 8 B of
+            # scalar-prefetch per window instead of 12 keeps big chunks
+            # under the ~1 MB SMEM roof (the absolute store row lives only
+            # in the plan's rstart field, for the runs_xla reference path)
             packed = rlen_ref[wi]
-            uoff = packed >> 8
+            uoff = (packed >> 8) & 0xFF
             vlen = packed & 0xFF
-            off = rstart_ref[wi] - base
+            off = packed >> 16
             mask = (kk >= uoff) & (kk < uoff + vlen)
             cur = wbuf[slot, pl.ds(off, T)]
             wbuf[slot, pl.ds(off, T)] = cur - jnp.where(
@@ -228,15 +232,19 @@ def _region_kernel(rgrow_ref, rgnf_ref, rgwoff_ref, rstart_ref, rcoff_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("T", "interpret"))
-def region_rmw(Lx, Cf, rstart, rcoff, rlen, rgrow, rgnf, rgwoff, *,
+def region_rmw(Lx, Cf, rcoff, rlen, rgrow, rgnf, rgwoff, *,
                T: int = RUN_TILE, interpret: bool = False):
-    """Region-batched variant of run_rmw (see module section above)."""
-    nw = rstart.shape[0]
+    """Region-batched variant of run_rmw (see module section above).
+
+    Scalar-prefetch SMEM cost: 8 B per window (rcoff + packed rlen) plus
+    12 B per region — numeric.build_runs only picks region packing for a
+    chunk when this fits numeric.SMEM_CAP."""
+    nw = rcoff.shape[0]
     nrg = rgrow.shape[0]
     kern = functools.partial(_region_kernel, nrg=nrg, nw=nw, T=T,
                              RB=REGION_BLK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # Cf stays in HBM
@@ -254,7 +262,7 @@ def region_rmw(Lx, Cf, rstart, rcoff, rlen, rgrow, rgnf, rgwoff, *,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(Lx.shape, Lx.dtype),
-        input_output_aliases={7: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(rgrow, rgnf, rgwoff, rstart, rcoff, rlen, Cf, Lx)
+    )(rgrow, rgnf, rgwoff, rcoff, rlen, Cf, Lx)

@@ -114,6 +114,30 @@ def test_hazard_schedule_spacing():
     assert kept == orig
 
 
+def test_chunk_mode_cost_model():
+    # many windows crowded into few regions -> region packing wins;
+    # sparse windows (one region each) -> the window kernel wins
+    assert numeric._chunk_mode(10000, 10, 16) == "region"
+    assert numeric._chunk_mode(10, 10, 16) == "interleave"
+
+
+def test_smem_cap_forces_interleave(monkeypatch):
+    """Under a tiny scalar-prefetch budget no chunk may pack region-mode
+    tables (they ride SMEM whole), and the window path must still factor
+    correctly — oversized irregular chunks fall back to this path (the
+    irregular3d SMEM overflow regression)."""
+    monkeypatch.setattr(numeric, "SMEM_CAP", 64)
+    A = poisson2d(16)
+    plan = compile_plan(A, dtype=np.float32)
+    _flat, meta = numeric.build_runs(plan)
+    for _kind, _spec, _utile_g, _wm, rchunks in meta:
+        for _nw, nrg in rchunks:
+            assert nrg == 0
+    Lx_s, _ = _factor_dense(plan, A, "scatter")
+    Lx_r, _ = _factor_dense(plan, A, "runs_xla")
+    assert np.allclose(Lx_s, Lx_r, rtol=2e-5, atol=2e-5)
+
+
 def test_run_tile_selection_bounds():
     A = poisson2d(16)
     plan = compile_plan(A, dtype=np.float32)
@@ -145,8 +169,10 @@ def test_region_packing_covers_and_is_wellformed():
                 rs, rc, rl, rg, rn, rw = numeric._pack_windows(
                     ws, wc, wl, ncs[ci], "region", 10**9, T
                 )
-                # same multiset of windows
-                assert sorted(zip(ws, wc, wl)) == sorted(zip(rs, rc, rl))
+                # same multiset of windows (rl bits 16+ carry the
+                # in-region row offset the kernel uses; mask them off)
+                assert (sorted(zip(ws, wc, wl))
+                        == sorted(zip(rs, rc, rl & 0xFFFF)))
                 # region structure
                 n = rn >> 1
                 flag = rn & 1
@@ -156,6 +182,8 @@ def test_region_packing_covers_and_is_wellformed():
                     sl = slice(rw[gi], rw[gi] + n[gi])
                     off = rs[sl] - rg[gi]
                     assert (off >= 0).all() and (off + T <= REGION_BLK).all()
+                    # packed offset must agree with absolute row - region
+                    assert (off == (rl[sl] >> 16)).all()
                 # flags iff adjacent tiles
                 if len(rg) > 1:
                     adj = (np.diff(rg) == stride)
