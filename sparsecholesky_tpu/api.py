@@ -66,15 +66,21 @@ class CholeskyFactor:
                 )
         return self._linv or None
 
-    def solve(self, rhs, *, refine: int = 0) -> np.ndarray:
+    def solve(self, rhs, *, refine=None) -> np.ndarray:
         """Solve A x = rhs (rhs in original index order).
 
         ``refine`` > 0 runs that many iterative-refinement steps: the
         residual r = b - A x is computed in fp64 on host against the
         original values, and the correction is solved with the existing
         factor.  Requires the factor to have been built via chol() (which
-        retains A).
+        retains A).  The default (None) auto-refines whenever A is
+        available — an fp32 factor of an ill-conditioned matrix would
+        otherwise silently return an O(cond * eps) solution; pass
+        ``refine=0`` for the raw single-precision solve.  Refinement
+        stops as soon as the residual stalls (typically 2-4 steps).
         """
+        if refine is None:
+            refine = "auto" if self.A is not None else 0
         linv = self._diag_inv()
         x = np.asarray(
             _solve.solve(self.plan, self.Lx, rhs, d=self.d,

@@ -45,10 +45,12 @@ def test_fp32_scaled_1138bus_with_refinement(bus1138):
     F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
     b = np.linspace(1, 2, bus1138.n)
     Asp = bus1138.to_scipy()
-    be0 = _backward_error(Asp, F.solve(b), b)
+    be0 = _backward_error(Asp, F.solve(b, refine=0), b)
     be2 = _backward_error(Asp, F.solve(b, refine="auto"), b)
     assert be2 < 1e-14          # fp64-class backward error from fp32 factor
     assert be2 < be0 * 1e-3     # refinement actually helped
+    # the default auto-refines whenever A is retained (chol() path)
+    assert _backward_error(Asp, F.solve(b), b) < 1e-14
 
 
 def test_fp32_unscaled_1138bus_degrades(bus1138):
