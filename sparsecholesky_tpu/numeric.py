@@ -73,13 +73,21 @@ class _BucketArrays:
     rgrow: jax.Array | None = None    # first store row of each region tile
     rgnf: jax.Array | None = None     # packed (windows-in-region << 1)|flag
     rgwoff: jax.Array | None = None   # first window index of each region
+    # host-precomputed index grids (build_runs).  Optional: paths that
+    # repack buckets themselves (parallel/shard.py, parallel/pstore.py)
+    # leave them None and the device-side affine fallback runs instead.
+    # Trading a little plan memory for executed ops matters here: the
+    # per-executed-op overhead on this part (~7-25us) times thousands of
+    # steps IS the measured datapath floor of small factorizations.
+    pridx: jax.Array | None = None    # [B, m_pad*nsp] panel row grid
+    vsrc: jax.Array | None = None     # [B, G_pad*LANE] V gather source
 
     def tree_flatten(self):
         return (
             self.row0, self.w, self.mb, self.col_idx, self.below_idx,
             self.ug, self.ujloc, self.up, self.urow0, self.ustride,
             self.uj0, self.uG, self.rstart, self.rcoff, self.rlen,
-            self.rgrow, self.rgnf, self.rgwoff,
+            self.rgrow, self.rgnf, self.rgwoff, self.pridx, self.vsrc,
         ), None
 
     @classmethod
@@ -127,6 +135,15 @@ _FIELDS = ("row0", "w", "mb", "col_idx", "below_idx",
 
 #: extend-add window-table fields (compiled here, not in the plan buckets)
 _RUN_FIELDS = ("rstart", "rcoff", "rlen", "rgrow", "rgnf", "rgwoff")
+
+#: host-precomputed index grids (derived from the bucket scalars in
+#: build_runs; None when skipped, see _DERIVED_CAP)
+_DERIVED_FIELDS = ("pridx", "vsrc")
+
+#: byte cap for each derived index-grid family; plans whose grids would
+#: exceed it keep the on-device affine computation (the op-overhead win
+#: only matters for many-step plans, which are far below this)
+_DERIVED_CAP = 512 * 1024 * 1024
 
 #: DMA pipeline depth of the extend-add kernel (ops/extend_add.py); the
 #: hazard scheduler spaces conflicting windows at least this far apart
@@ -310,6 +327,41 @@ def _np_fields(b) -> dict:
     )
 
 
+def _host_panel_rows(b, R_L: int) -> np.ndarray:
+    """numpy mirror of panel_rows (same grid layout, same OOB sentinel):
+    precomputing the grid on the host removes the per-step iota/where
+    index chain from the compiled scan bodies."""
+    w_pad, mb_pad = b.w_pad, b.mb_pad
+    m_pad = w_pad + mb_pad
+    nsp = max(1, w_pad // LANE)
+    ii = np.arange(m_pad, dtype=np.int64)[None, :, None]
+    kk = np.arange(nsp, dtype=np.int64)[None, None, :]
+    r0 = b.row0.astype(np.int64)[:, None, None]
+    wb = b.w.astype(np.int64)[:, None, None]
+    mbb = b.mb.astype(np.int64)[:, None, None]
+    nseg = (wb + LANE - 1) // LANE
+    diag = ii < wb
+    below = (ii >= w_pad) & (ii - w_pad < mbb)
+    r = np.where(diag, ii, wb + (ii - w_pad))
+    ridx = np.where((diag | below) & (kk < nseg),
+                    r0 + kk * (wb + mbb) + r, R_L)
+    return ridx.reshape(b.batch, m_pad * nsp).astype(np.int32)
+
+
+def _host_vsrc(b) -> np.ndarray:
+    """Gather-source map for the extend-add V workspace: slot (g, lane c)
+    of supernode bsrc reads flattened-L21 row bsrc*mb_pad + j when below
+    row j sits at lane c of owner group g; empty slots read out of bounds
+    (mode="fill" -> 0).  Replaces the device-side vrow scatter (a row
+    scatter-set plus its index chain) with one gather."""
+    B, mb_pad = b.batch, b.mb_pad
+    vsrc = np.full((B, b.g_pad * LANE), B * mb_pad, np.int32)
+    bi, jj = np.nonzero(np.arange(mb_pad)[None, :] < b.mb[:, None])
+    slot = b.ug[bi, jj] * LANE + b.ujloc[bi, jj]
+    vsrc[bi, slot] = (bi * mb_pad + jj).astype(np.int32)
+    return vsrc
+
+
 def build_runs(plan: FactorizePlan):
     """Compress the linear step sequence (levels flattened in order) into
     runs: maximal stretches of identically-shaped buckets become one
@@ -328,8 +380,14 @@ def build_runs(plan: FactorizePlan):
     pytrees trip XLA's tuple-parameter flattening and slow dispatch.
     """
     steps = [b for lev in plan.levels for b in lev]
-    chunks = {f: [] for f in _FIELDS + _RUN_FIELDS}
-    offs = {f: 0 for f in _FIELDS + _RUN_FIELDS}
+    chunks = {f: [] for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
+    offs = {f: 0 for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
+    derived_bytes = 4 * sum(
+        b.batch * ((b.w_pad + b.mb_pad) * max(1, b.w_pad // LANE)
+                   + (b.g_pad * LANE if b.mb_pad else 0))
+        for b in steps
+    )
+    derive = derived_bytes <= _DERIVED_CAP
     meta = []
     rtile = plan.run_tile
     dummy_row = plan.R_L - rtile
@@ -361,6 +419,25 @@ def build_runs(plan: FactorizePlan):
             chunks[f].append(np.ascontiguousarray(arr, dtype=np.int32).ravel())
             spec[f] = (offs[f], arr.shape)
             offs[f] += arr.size
+        # ---- host-precomputed index grids --------------------------------
+        if derive:
+            # dense-instore singles never gather/scatter panels; their
+            # (huge) grid would be dead weight
+            instore = wm is not None and group[0].w_pad >= DENSE_INSTORE
+            derived = {} if instore else {
+                "pridx": [_host_panel_rows(b, plan.R_L) for b in group]}
+            if group[0].mb_pad:
+                derived["vsrc"] = [_host_vsrc(b) for b in group]
+            for f in _DERIVED_FIELDS:
+                vals = derived.get(f)
+                if vals is None:
+                    spec[f] = None
+                    continue
+                arr = np.stack(vals, axis=0) if kind == "scan" else vals[0]
+                chunks[f].append(
+                    np.ascontiguousarray(arr, dtype=np.int32).ravel())
+                spec[f] = (offs[f], arr.shape)
+                offs[f] += arr.size
         # ---- extend-add window tables (chunk layout needs the group-wide
         # utile_g, so they compile here, not in the plan) ------------------
         rchunks: tuple = ()
@@ -461,12 +538,12 @@ def build_runs(plan: FactorizePlan):
                     np.ascontiguousarray(arr, dtype=np.int32).ravel())
                 spec[f] = (offs[f], arr.shape)
                 offs[f] += arr.size
-        for f in _RUN_FIELDS:
+        for f in _RUN_FIELDS + _DERIVED_FIELDS:
             spec.setdefault(f, None)
         meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks))
         i = j
     flat = {}
-    for f in _FIELDS + _RUN_FIELDS:
+    for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS:
         arr = np.concatenate(chunks[f]) if chunks[f] else np.zeros(0, np.int32)
         if f == "up" and arr.size and 0 <= arr.min() and arr.max() < 65536:
             # `up` dominates plan memory (O(mb_pad * G_pad) per supernode;
@@ -563,9 +640,11 @@ def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None):
     """[B, m_pad, w_pad] assembled panels: row-gather + arithmetic identity
     padding (P[i, i] += 1 for i in [w, w_pad))."""
     w_pad = b.w_pad
+    use_pre = b.pridx is not None and mb_pad is None
     mb_pad = b.mb_pad if mb_pad is None else mb_pad
     nsp = _nseg_pad(w_pad)
-    ridx = panel_rows(b, R_L, w_pad=w_pad, mb_pad=mb_pad)
+    ridx = (b.pridx if use_pre
+            else panel_rows(b, R_L, w_pad=w_pad, mb_pad=mb_pad))
     m_pad = w_pad + mb_pad
     P = jnp.take(Lx, ridx, axis=0, mode="fill", fill_value=0)
     P = P.reshape(P.shape[0], m_pad, nsp * LANE)[:, :, :w_pad]
@@ -582,7 +661,8 @@ def scatter_panels(Lx, b: _BucketArrays, L, R_L: int):
     and out-of-range segments map out of bounds and drop."""
     w_pad = b.w_pad
     nsp = _nseg_pad(w_pad)
-    ridx = panel_rows(b, R_L, w_pad=w_pad, mb_pad=b.mb_pad)
+    ridx = (b.pridx if b.pridx is not None
+            else panel_rows(b, R_L, w_pad=w_pad, mb_pad=b.mb_pad))
     if w_pad < nsp * LANE:
         L = jnp.pad(L, ((0, 0), (0, 0), (0, nsp * LANE - w_pad)))
     L = L.reshape(L.shape[0], L.shape[1] * nsp, LANE)
@@ -626,15 +706,20 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
     B, mb_pad, w_pad = L21.shape
     G_pad = b.g_pad
 
-    # -- workspace placement: one row-scatter of L21's rows ---------------
-    nV = B * G_pad * LANE
-    bi = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, mb_pad), 1)
-    vrow = bi * (G_pad * LANE) + b.ug * LANE + b.ujloc
-    vrow = jnp.where(jj < b.mb[:, None], vrow, jnp.int32(nV))
-    V = jnp.zeros((nV, w_pad), dtype=dtype)
-    V = V.at[vrow.reshape(-1)].set(L21.reshape(-1, w_pad), mode="drop")
-    V = V.reshape(B, G_pad, LANE, w_pad)
+    # -- workspace placement: one row-gather (host-precomputed source map)
+    # or one row-scatter of L21's rows ------------------------------------
+    if b.vsrc is not None:
+        V = jnp.take(L21.reshape(B * mb_pad, w_pad), b.vsrc.reshape(-1),
+                     axis=0, mode="fill", fill_value=0)
+    else:
+        nV = B * G_pad * LANE
+        bi = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, mb_pad), 1)
+        vrow = bi * (G_pad * LANE) + b.ug * LANE + b.ujloc
+        vrow = jnp.where(jj < b.mb[:, None], vrow, jnp.int32(nV))
+        V = jnp.zeros((nV, w_pad), dtype=dtype)
+        V = V.at[vrow.reshape(-1)].set(L21.reshape(-1, w_pad), mode="drop")
+    V = V.reshape(B, G_pad, LANE, w_pad).astype(dtype)
 
     if extend == "none":        # profiling aid: skip the whole update
         return Lx

@@ -62,9 +62,9 @@ def test_fp32_unscaled_1138bus_degrades(bus1138):
     except sc.NotPositiveDefiniteError:
         return
     b = np.linspace(1, 2, bus1138.n)
-    be = _backward_error(bus1138.to_scipy(), F.solve(b), b)
+    be = _backward_error(bus1138.to_scipy(), F.solve(b, refine=0), b)
     Fs = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
-    be_s = _backward_error(bus1138.to_scipy(), Fs.solve(b), b)
+    be_s = _backward_error(bus1138.to_scipy(), Fs.solve(b, refine=0), b)
     assert be_s < be
 
 
