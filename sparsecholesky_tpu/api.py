@@ -44,6 +44,7 @@ class CholeskyFactor:
     backend: str = "xla"
     scaled: bool = False
     _linv: object = None  # lazy diagonal-block inverses (solve fast path)
+    _ell: object = None   # lazy device ELL of A (on-device refinement)
 
     def _diag_inv(self):
         if self._linv is None:
@@ -66,6 +67,21 @@ class CholeskyFactor:
                 )
         return self._linv or None
 
+    def _device_ell(self):
+        """Lazy padded-ELL upload of A for on-device refinement; False when
+        ineligible (no A, over the ELL budget, or a chunked-solve plan)."""
+        if self._ell is None:
+            from . import refine as _refine
+
+            eligible = (
+                self.A is not None
+                and np.dtype(self.plan.dtype) == np.float32
+                and len(self.arrays["meta"].value) <= _numeric.CHUNK_RUNS
+            )
+            self._ell = (_refine.build_ell(self.A) if eligible else None) \
+                or False
+        return self._ell or None
+
     def solve(self, rhs, *, refine=None) -> np.ndarray:
         """Solve A x = rhs (rhs in original index order).
 
@@ -78,14 +94,39 @@ class CholeskyFactor:
         otherwise silently return an O(cond * eps) solution; pass
         ``refine=0`` for the raw single-precision solve.  Refinement
         stops as soon as the residual stalls (typically 2-4 steps).
+
+        ``refine="device"`` fuses the solve and 3 refinement steps with a
+        double-float residual (ops/dfloat.py) into ONE device dispatch —
+        the latency-optimal mode (~1e-13-class backward error; the host
+        loop's fp64 residual reaches ~1e-16 at one round-trip per step).
+        The auto mode runs the device steps first when available, so its
+        host polish typically needs a single round-trip.
         """
         if refine is None:
             refine = "auto" if self.A is not None else 0
         linv = self._diag_inv()
-        x = np.asarray(
-            _solve.solve(self.plan, self.Lx, rhs, d=self.d,
-                         arrays=self.arrays, linv=linv)
-        )
+        x = None
+        if refine in ("auto", "device") and np.ndim(rhs) == 1:
+            ell = self._device_ell()
+            if ell is not None:
+                from . import refine as _refine
+
+                x = _refine.device_refined_solve(
+                    self.plan, self.Lx, ell, rhs, d=self.d,
+                    arrays=self.arrays, linv=linv,
+                )
+                if refine == "device":
+                    return x
+            elif refine == "device":
+                raise ValueError(
+                    "device refinement unavailable: needs the original "
+                    "matrix, a single-jit plan, and n*K within the ELL "
+                    "budget")
+        if x is None:
+            x = np.asarray(
+                _solve.solve(self.plan, self.Lx, rhs, d=self.d,
+                             arrays=self.arrays, linv=linv)
+            )
         if refine:
             if self.A is None:
                 raise ValueError("refinement needs the original matrix")
@@ -155,7 +196,8 @@ class CholeskyFactor:
                 self.A.n, self.A.indptr, self.A.indices,
                 np.asarray(Ax), sym=self.A.sym,
             )
-        return dataclasses.replace(self, Lx=Lx, d=d, A=newA, _linv=None)
+        return dataclasses.replace(self, Lx=Lx, d=d, A=newA, _linv=None,
+                                   _ell=None)
 
     @property
     def perm(self) -> np.ndarray:

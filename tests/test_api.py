@@ -101,3 +101,65 @@ def test_empty_matrix_rejected():
     A0 = sc.triplet_to_csc([], [], [], 0)
     with pytest.raises(SymbolicError):
         chol(A0)
+
+
+# ---------------------------------------------------------------------------
+# On-device refinement (refine.py + ops/dfloat.py)
+
+
+def test_dfloat_transforms_compiled():
+    """TwoSum/TwoProd invariants must survive XLA compilation (no unsafe
+    reassociation): s + e == a + b and p + e == a * b exactly in fp64."""
+    import jax
+    import jax.numpy as jnp
+    from sparsecholesky_tpu.ops.dfloat import two_sum, two_prod
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(512) * 1e-4, jnp.float32)
+    s, e = jax.jit(two_sum)(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(s, np.float64) + np.asarray(e, np.float64), exact)
+    p, pe = jax.jit(two_prod)(a, b)
+    prod = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(p, np.float64) + np.asarray(pe, np.float64), prod)
+
+
+def test_ell_residual_matches_fp64(bus1138):
+    """The double-float ELL residual must agree with the numpy fp64
+    residual to ~1e-13 relative — far below fp32's 6e-8."""
+    import jax.numpy as jnp
+    from sparsecholesky_tpu import refine as rf
+
+    A = bus1138
+    ell = rf.build_ell(A)
+    assert ell is not None
+    rng = np.random.default_rng(3)
+    x64 = rng.standard_normal(A.n)
+    b64 = rng.standard_normal(A.n)
+    xh = x64.astype(np.float32)
+    xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+    bh = b64.astype(np.float32)
+    bl = (b64 - bh.astype(np.float64)).astype(np.float32)
+    rh, rl = rf._residual_df(ell, jnp.asarray(bh), jnp.asarray(bl),
+                             jnp.asarray(xh), jnp.asarray(xl))
+    got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    want = b64 - A.to_scipy() @ x64
+    scale = np.abs(A.to_scipy()).dot(np.abs(x64)).max() + np.abs(b64).max()
+    assert np.abs(got - want).max() < 1e-12 * scale
+
+
+def test_device_refined_solve(bus1138):
+    """refine="device": one-dispatch fused refinement reaches far below
+    fp32 backward error; "auto" (device + host polish) reaches fp64-class."""
+    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    Asp = bus1138.to_scipy()
+    b = np.linspace(1, 2, bus1138.n)
+    be_raw = _backward_error(Asp, F.solve(b, refine=0), b)
+    be_dev = _backward_error(Asp, F.solve(b, refine="device"), b)
+    be_auto = _backward_error(Asp, F.solve(b, refine="auto"), b)
+    assert be_dev < 1e-11
+    assert be_dev < be_raw * 1e-2
+    assert be_auto < 5e-15
