@@ -44,9 +44,12 @@ from ..plan import FactorizePlan, LANE, STORE_TAIL_PAD
 from ..errors import NotPositiveDefiniteError
 from ..numeric import (
     _BucketArrays,
+    _DERIVED_FIELDS,
     _FIELDS,
     _RUN_FIELDS,
     _Static,
+    _host_panel_rows,
+    _host_vsrc,
     _panel_factor,
     _window_table,
     apply_schur_update,
@@ -326,17 +329,36 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
     dummy_row = lay.R_local - plan.run_tile
     use_runs = extend != "scatter"
 
-    chunks = {f: [] for f in _FIELDS + _RUN_FIELDS}
-    offs = {f: 0 for f in _FIELDS + _RUN_FIELDS}
+    chunks = {f: [] for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
+    offs = {f: 0 for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     xchunks, xoff = [], 0
     slots: list[list[int]] = [[] for _ in range(ndev)]
 
-    def deal(cbuckets, rchunks):
-        """Stack chip buckets' device fields into the flat buffers."""
+    def deal(cbuckets, rchunks, panels=True):
+        """Stack chip buckets' device fields into the flat buffers.
+        ``panels=False`` skips the pridx grid (wide steps never
+        gather/scatter whole panels)."""
         spec = {}
         for f in _FIELDS:
             vals = [getattr(cb, f) for cb in cbuckets]
             if vals[0] is None:
+                spec[f] = None
+                continue
+            out = np.stack(vals, axis=0)
+            flat2 = np.ascontiguousarray(out, np.int32).reshape(ndev, -1)
+            chunks[f].append(flat2)
+            spec[f] = (offs[f], out.shape[1:])
+            offs[f] += flat2.shape[1]
+        # host-precomputed index grids (chip-local row coordinates)
+        derived = {}
+        if panels:
+            derived["pridx"] = [_host_panel_rows(cb, lay.R_local)
+                                for cb in cbuckets]
+        if cbuckets[0].mb_pad:
+            derived["vsrc"] = [_host_vsrc(cb) for cb in cbuckets]
+        for f in _DERIVED_FIELDS:
+            vals = derived.get(f)
+            if vals is None:
                 spec[f] = None
                 continue
             out = np.stack(vals, axis=0)
@@ -433,7 +455,7 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
         # from each chip's owned columns; targets remapped to halos)
         rch: list = []
         cbs = [_chip_bucket(plan, b, [bi], lay, c, 1) for c in range(ndev)]
-        spec = deal(cbs, rch)
+        spec = deal(cbs, rch, panels=False)
         for c in range(ndev):
             slots[c].append(int(s))
         return (int(s), int(plan.block_w[s]),
@@ -538,7 +560,7 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
             np.concatenate(chunks[f], axis=1)
             if chunks[f] else np.zeros((ndev, 0), np.int32)
         )
-        for f in _FIELDS + _RUN_FIELDS
+        for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS
     }
     arrays = {
         "flat": flat,
@@ -822,7 +844,7 @@ def factorize_partitioned(plan: FactorizePlan, Ax, mesh: Mesh, *,
     dtype = jnp.dtype(plan.dtype)
 
     spec = {
-        "flat": {f: P(axis) for f in _FIELDS + _RUN_FIELDS},
+        "flat": {f: P(axis) for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS},
         "xrows": P(),
         "exch_src": P(axis),
         "exch_dst": P(axis),
@@ -1013,7 +1035,7 @@ def solve_partitioned(plan: FactorizePlan, Lx_sharded, rhs, *, arrays,
             "configuration"
         )
     spec_in = {
-        "flat": {f: P(axis) for f in _FIELDS + _RUN_FIELDS},
+        "flat": {f: P(axis) for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS},
         "xrows": P(),
         "exch_src": P(axis),
         "exch_dst": P(axis),
