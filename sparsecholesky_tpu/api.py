@@ -111,11 +111,20 @@ class CholeskyFactor:
             if ell is not None:
                 from . import refine as _refine
 
-                x = _refine.device_refined_solve(
-                    self.plan, self.Lx, ell, rhs, d=self.d,
-                    arrays=self.arrays, linv=linv,
-                )
-                if refine == "device":
+                try:
+                    x = _refine.device_refined_solve(
+                        self.plan, self.Lx, ell, rhs, d=self.d,
+                        arrays=self.arrays, linv=linv,
+                    )
+                except Exception:
+                    # e.g. the TPU compiler rejecting the fused program on
+                    # a near-chunk-size plan: auto falls back to the host
+                    # loop; the explicit device mode surfaces the error
+                    if refine == "device":
+                        raise
+                    self._ell = False   # don't retry per solve
+                    x = None
+                if x is not None and refine == "device":
                     return x
             elif refine == "device":
                 raise ValueError(

@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.dfloat import df_add, two_prod, two_sum
+from .ops.dfloat import df_add, two_prod
 from .solve import _solve_impl
 
 #: device-refinement ELL budget: n * K entries, 12 bytes each (idx+hi+lo)
@@ -94,17 +94,24 @@ def _residual_df(ell, bh, bl, xh, xl):
     jax.jit, static_argnames=("n", "R_L", "dtype", "steps"))
 def _device_refine_jit(arrays, Lx, ell, bh, bl, d, linv, n, R_L, dtype,
                        steps):
-    """solve + ``steps`` fused refinement iterations; returns (xh, xl)."""
+    """solve + ``steps`` fused refinement iterations; returns (xh, xl).
+
+    Runs as a fori_loop from x = 0 (iteration 0's residual is b, so its
+    correction IS the initial solve) — the compiled program contains ONE
+    copy of the solve body regardless of ``steps``, keeping program size
+    (and TPU compile time) at a single solve's."""
     with jax.default_matmul_precision("highest"):
         solve1 = lambda r: _solve_impl(
             arrays, Lx, r, d, n=n, R_L=R_L, dtype=dtype, linv=linv)
-        x0 = solve1(bh)
-        xh, xl = two_sum(x0, jnp.zeros_like(x0))
-        for _ in range(steps):
+
+        def body(_, carry):
+            xh, xl = carry
             rh, rl = _residual_df(ell, bh, bl, xh, xl)
             dx = solve1(rh + rl)
-            xh, xl = df_add(xh, xl, dx, jnp.zeros_like(dx))
-        return xh, xl
+            return df_add(xh, xl, dx, jnp.zeros_like(dx))
+
+        z = jnp.zeros_like(bh)
+        return jax.lax.fori_loop(0, steps + 1, body, (z, z))
 
 
 def device_refined_solve(plan, Lx, ell, rhs, *, d, arrays, linv=None,
