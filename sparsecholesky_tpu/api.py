@@ -106,7 +106,7 @@ class CholeskyFactor:
             refine = "auto" if self.A is not None else 0
         linv = self._diag_inv()
         x = None
-        if refine in ("auto", "device") and np.ndim(rhs) == 1:
+        if refine in ("auto", "device") and np.ndim(rhs) in (1, 2):
             ell = self._device_ell()
             if ell is not None:
                 from . import refine as _refine

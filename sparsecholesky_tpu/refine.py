@@ -67,18 +67,25 @@ def build_ell(A):
 
 def _ell_matvec_df(idx, ahi, alo, xh, xl):
     """y = A x in double-float: per-slot TwoProd + first-order cross
-    terms, compensated binary-tree reduction over the K axis."""
+    terms, compensated binary-tree reduction over the K axis.  x may be
+    [n] or [n, k] (multi-RHS); y matches."""
     flat = idx.reshape(-1)
-    gh = jnp.take(xh, flat, axis=0, mode="fill", fill_value=0).reshape(idx.shape)
-    gl = jnp.take(xl, flat, axis=0, mode="fill", fill_value=0).reshape(idx.shape)
-    p, pe = two_prod(ahi, gh)
-    pe = pe + ahi * gl + alo * gh
+    tail = xh.shape[1:]
+    shp = idx.shape + tail
+    gh = jnp.take(xh, flat, axis=0, mode="fill", fill_value=0).reshape(shp)
+    gl = jnp.take(xl, flat, axis=0, mode="fill", fill_value=0).reshape(shp)
+    a_hi = ahi.reshape(idx.shape + (1,) * len(tail))
+    a_lo = alo.reshape(idx.shape + (1,) * len(tail))
+    p, pe = two_prod(a_hi, gh)
+    pe = pe + a_hi * gl + a_lo * gh
     h, l = p, pe
     while h.shape[1] > 1:
         k = h.shape[1]
         if k % 2:
-            h = jnp.pad(h, ((0, 0), (0, 1)))
-            l = jnp.pad(l, ((0, 0), (0, 1)))
+            pad = [(0, 0)] * h.ndim
+            pad[1] = (0, 1)
+            h = jnp.pad(h, pad)
+            l = jnp.pad(l, pad)
             k += 1
         h, l = df_add(h[:, 0::2], l[:, 0::2], h[:, 1::2], l[:, 1::2])
     return h[:, 0], l[:, 0]
@@ -117,9 +124,10 @@ def _device_refine_jit(arrays, Lx, ell, bh, bl, d, linv, n, R_L, dtype,
 def device_refined_solve(plan, Lx, ell, rhs, *, d, arrays, linv=None,
                          steps: int = 3):
     """Run solve + ``steps`` refinement iterations in ONE device dispatch.
-    ``rhs`` is a host fp64 vector in original index order.  Returns a host
-    fp64 solution accurate to the double-float residual floor.  Caller
-    guarantees the plan is single-jit sized (numeric.CHUNK_RUNS)."""
+    ``rhs`` is a host fp64 vector (or [n, k] multi-RHS block) in original
+    index order.  Returns a host fp64 solution accurate to the
+    double-float residual floor.  Caller guarantees the plan is
+    single-jit sized (numeric.CHUNK_RUNS)."""
     rhs = np.asarray(rhs, np.float64)
     bh = rhs.astype(np.float32)
     bl = (rhs - bh.astype(np.float64)).astype(np.float32)

@@ -163,3 +163,14 @@ def test_device_refined_solve(bus1138):
     assert be_dev < 1e-11
     assert be_dev < be_raw * 1e-2
     assert be_auto < 5e-15
+
+
+def test_device_refined_multirhs(bus1138):
+    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    Asp = bus1138.to_scipy()
+    rng = np.random.default_rng(11)
+    B = rng.standard_normal((bus1138.n, 3))
+    X = F.solve(B, refine="device")
+    assert X.shape == B.shape
+    for j in range(3):
+        assert _backward_error(Asp, X[:, j], B[:, j]) < 1e-11
