@@ -133,6 +133,21 @@ def run_bench(
         / (nrmA * np.linalg.norm(x) + np.linalg.norm(b))
     )
 
+    # solve latency: raw fp32 vs fused on-device refinement (refine.py)
+    def _time_solve(**kw):
+        try:
+            F.solve(b, **kw)  # warm/compile
+            t0 = time.time()
+            for _ in range(3):
+                F.solve(b, **kw)
+            return (time.time() - t0) / 3
+        except Exception:
+            return float("nan")
+
+    t_solve_raw = _time_solve(refine=0)
+    t_solve_dev = _time_solve(refine="device")
+    t_solve_auto = _time_solve(refine="auto")
+
     cpu_s = _cpu_baseline_seconds(A)
     vs = cpu_s / best
     if not np.isfinite(vs):
@@ -163,6 +178,9 @@ def run_bench(
             "nnzL_per_s": nnzL / best,
             "build_seconds_incl_compile": t_build,
             "solve_backward_error": be,
+            "solve_seconds_raw": t_solve_raw,
+            "solve_seconds_device_refined": t_solve_dev,
+            "solve_seconds_auto_refined": t_solve_auto,
             "cpu_splu_seconds": cpu_s,
             "baseline_def": (
                 "scipy splu full factorize wall-time on this host vs our "
