@@ -240,12 +240,16 @@ def compute_ordering(A: CSCMatrix, method: str = "auto", *, grid_shape=None) -> 
         return nested_dissection(A)
     if method == "auto":
         try:
-            # Both candidates are near-linear (native AMD, BFS-ND), so
-            # auto compares them by predicted fill (cheap column counts)
-            # and keeps the winner.  Measured nnz(L): AMD wins on fem3d
-            # (2.52M vs 2.61M) and irregular meshes (7.2M vs 16.4M at
-            # n=27k), BFS-ND on regular Poisson grids (6.0M vs 7.6M at
-            # 32^3); no single default dominates.
+            # Both candidates are fill-compared by cheap column counts.
+            # Measured nnz(L): AMD wins on fem3d (2.52M vs 2.61M) and
+            # irregular meshes (7.2M vs 16.4M at n=27k), BFS-ND on
+            # regular Poisson grids (6.0M vs 7.6M at 32^3); no single
+            # default dominates.  Above ~150k rows the BFS-ND candidate
+            # is dropped: it costs ~minutes at 1M rows (AMD: 2s) and has
+            # lost on every irregular mesh measured — callers with
+            # regular grids should pass grid_shape for nd-grid anyway.
+            if A.n > 150_000:
+                return amd(A)
             cands = []
             for fn in (nested_dissection, amd):
                 try:
