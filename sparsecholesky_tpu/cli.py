@@ -104,7 +104,12 @@ def cmd_solve(args):
     A, F, t = _chol_from_args(args)
     rng = np.random.default_rng(0)
     b = np.ones(A.n) if args.rhs == "ones" else rng.standard_normal(A.n)
-    x = F.solve(b, refine="auto" if args.refine else 0)
+    refine = args.refine
+    if refine in ("0", "false", "no"):
+        refine = 0
+    elif refine in ("1", "true", "yes", "auto"):
+        refine = "auto"
+    x = F.solve(b, refine=refine)
     Asp = A.to_scipy()
     nrmA = np.abs(Asp).sum(axis=1).max()
     be = np.linalg.norm(Asp @ x - b) / (nrmA * np.linalg.norm(x) + np.linalg.norm(b))
@@ -168,7 +173,9 @@ def main(argv=None):
     sp = sub.add_parser("solve", help="factorize + solve Ax=b")
     common(sp)
     sp.add_argument("--rhs", default="ones", choices=["ones", "random"])
-    sp.add_argument("--refine", action=argparse.BooleanOptionalAction, default=True)
+    sp.add_argument("--refine", default="auto",
+                    help="auto (host fp64 polish), device (one-dispatch "
+                         "double-float), 0/false (raw fp32)")
     sp.set_defaults(fn=cmd_solve)
 
     sp = sub.add_parser("bench", help="benchmark; prints one JSON line")
