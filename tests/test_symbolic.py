@@ -243,3 +243,42 @@ def test_native_amd_quality_pins():
     am = ordering.predicted_nnzL(B, pb)
     nd = ordering.predicted_nnzL(B, ordering.nested_dissection(B))
     assert am < nd / 1.5
+
+
+def test_native_amd_edge_cases():
+    """The C++ AMD must return a valid permutation on degenerate graphs
+    (a crash here would take down a whole bench run): diagonal-only,
+    fully dense, star, path chain, disconnected components."""
+    import scipy.sparse as sp
+    from sparsecholesky_tpu.csc import CSCMatrix
+    try:
+        from sparsecholesky_tpu import _native
+        _native._load()
+    except Exception:
+        pytest.skip("native engine unavailable")
+
+    def mk(dense):
+        M = sp.csc_matrix(np.triu(dense))
+        return CSCMatrix(M.shape[0], M.indptr, M.indices, M.data,
+                         sym="upper")
+
+    n = 40
+    star = np.eye(n) * n
+    star[0, :] = star[:, 0] = 1
+    star[0, 0] = n
+    path = np.eye(n) * 3
+    for i in range(n - 1):
+        path[i, i + 1] = path[i + 1, i] = -1
+    blocks = np.zeros((10, 10))
+    blocks[:5, :5] = np.eye(5) * 5 + 1
+    blocks[5:, 5:] = np.eye(5) * 5 + 1
+    for name, A in {
+        "1x1": mk(np.array([[2.0]])),
+        "diag": mk(np.diag(np.arange(1.0, 6.0))),
+        "dense": mk(np.eye(n) * n + np.ones((n, n))),
+        "star": mk(star),
+        "path": mk(path),
+        "disconnected": mk(blocks),
+    }.items():
+        p = _native.amd_order(A)
+        assert sorted(p.tolist()) == list(range(A.n)), name
