@@ -544,14 +544,24 @@ def build_runs(plan: FactorizePlan):
         i = j
     flat = {}
     for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS:
-        arr = np.concatenate(chunks[f]) if chunks[f] else np.zeros(0, np.int32)
-        if f == "up" and arr.size and 0 <= arr.min() and arr.max() < 65536:
+        dt = np.int32
+        if f == "up" and any(c.size for c in chunks[f]):
             # `up` dominates plan memory (O(mb_pad * G_pad) per supernode;
             # ~GiBs at 1M rows).  Values are block-row positions within an
             # owner supernode, so uint16 holds them for any plan whose
             # widest block is under 64K rows; consumers upcast per-tile.
-            arr = arr.astype(np.uint16)
-        flat[f] = jnp.asarray(arr)
+            if (min(int(c.min()) for c in chunks[f] if c.size) >= 0
+                    and max(int(c.max()) for c in chunks[f] if c.size)
+                    < 65536):
+                dt = np.uint16
+        # preallocated fill: ONE pass over the (GiB-scale at 1M rows)
+        # buffers instead of concatenate + astype copies
+        buf = np.empty(offs[f], dtype=dt)
+        o = 0
+        for c in chunks[f]:
+            buf[o:o + c.size] = c
+            o += c.size
+        flat[f] = jnp.asarray(buf)
     return flat, tuple(meta)
 
 

@@ -568,15 +568,18 @@ def _build_bucket(
         )
 
     G_pad = _pad_g(G_max)
-    ug = np.zeros((B, mb_pad), dtype=np.int64)
-    ujloc_a = np.zeros((B, mb_pad), dtype=np.int64)
-    up = np.zeros((B, mb_pad, G_pad), dtype=np.int64)
+    # the big maps are born INDEX_DTYPE: at 1M rows `up` alone is ~GB-scale
+    # and the astype copies used to dominate plan compile time
+    ug = np.zeros((B, mb_pad), dtype=INDEX_DTYPE)
+    ujloc_a = np.zeros((B, mb_pad), dtype=INDEX_DTYPE)
+    up = np.zeros((B, mb_pad, G_pad), dtype=INDEX_DTYPE)
     urow0 = np.zeros((B, G_pad), dtype=np.int64)
     ustride = np.ones((B, G_pad), dtype=np.int64)
     uj0 = np.full((B, G_pad), mb_pad, dtype=np.int64)  # pad: mask everything
     uG = np.zeros(B, dtype=np.int64)
     run_rows: list[np.ndarray] = []
-    for b, br, tgt, jloc, keys, distinct in per_sn:
+    inc: list[tuple[int, int, int]] = []
+    for pi, (b, br, tgt, jloc, keys, distinct) in enumerate(per_sn):
         mbb = len(br)
         G = len(distinct)
         uG[b] = G
@@ -590,42 +593,67 @@ def _build_bucket(
         urow0[b, :G] = row_off[dt] + dseg * block_m[dt]
         ustride[b, :G] = 1
         uj0[b, :G] = np.searchsorted(keys, distinct)
-        # position of every below row within every distinct owner's rows
-        q = (dt[None, :] * n + br[:, None]).ravel()
-        g = np.searchsorted(K, q).reshape(mbb, G)
-        up[b, :mbb, :G] = g - sn_row_off[dt][None, :]
+        for gi, t in enumerate(dt.tolist()):
+            inc.append((t, pi, gi))
 
+    # position of every below row within every distinct owner's rows:
+    # scatter each owner's row -> position table once, then gather per
+    # (member, owner-group) incidence.  (This replaces a searchsorted into
+    # the global 14M-key table per query, which dominated 1M-row plan
+    # compiles at ~30s.)  Entries for rows not in the owner's list (the
+    # i < uj0 masked region) read whatever the table holds — garbage by
+    # contract, identical in role to the old insertion positions.
+    inc.sort()
+    tmp = np.zeros(n, dtype=np.int64)
+    cur_t = -1
+    for t, pi, gi in inc:
+        if t != cur_t:
+            rows_t = S.sn_rows[t]
+            tmp[rows_t] = np.arange(len(rows_t), dtype=np.int64)
+            cur_t = t
+        b, br = per_sn[pi][0], per_sn[pi][1]
+        up[b, : len(br), gi] = tmp[br]
+
+    for b, br, tgt, jloc, keys, distinct in per_sn:
+        mbb = len(br)
+        G = len(distinct)
         # raw runs: per owner group, maximal stretches of consecutive
-        # positions (== consecutive store rows), split at i-tile edges
-        for gi in range(G):
-            j0 = int(uj0[b, gi])
-            if j0 >= mbb:
-                continue
-            pos = up[b, j0:mbb, gi]
-            ii = np.arange(j0 + 1, mbb)
-            brk = (np.diff(pos) != 1) | (ii % _UPDATE_TILE == 0)
-            st = np.concatenate([[0], np.flatnonzero(brk) + 1])
-            en = np.concatenate([st[1:], [mbb - j0]])
-            nr = len(st)
-            rr = np.empty((nr, 5), dtype=np.int64)
+        # positions (== consecutive store rows), split at i-tile edges —
+        # vectorized over ALL groups at once (the per-group numpy-call
+        # loop dominated 1M-row plan compiles)
+        M = up[b, :mbb, :G]                      # [mbb, G]
+        jj = np.arange(mbb)[:, None]
+        valid = jj >= uj0[b, None, :G]
+        brk = np.ones((mbb, G), dtype=bool)
+        if mbb > 1:
+            brk[1:] = (np.diff(M, axis=0) != 1) | (
+                (jj[1:] % _UPDATE_TILE) == 0)
+        isstart = valid & (brk | (jj == uj0[b, None, :G]))
+        # gi-major flatten keeps each group's starts ascending in j
+        flat = isstart.T.ravel()
+        sidx = np.flatnonzero(flat)
+        if len(sidx):
+            gid = sidx // mbb
+            jst = sidx % mbb
+            nxt_j = np.empty(len(sidx), dtype=np.int64)
+            nxt_j[:-1] = np.where(gid[:-1] == gid[1:], jst[1:], mbb)
+            nxt_j[-1] = mbb
+            rr = np.empty((len(sidx), 5), dtype=np.int64)
             rr[:, 0] = b
-            rr[:, 1] = gi
-            rr[:, 2] = j0 + st
-            rr[:, 3] = en - st
-            rr[:, 4] = urow0[b, gi] + pos[st]
+            rr[:, 1] = gid
+            rr[:, 2] = jst
+            rr[:, 3] = nxt_j - jst
+            rr[:, 4] = urow0[b, gid] + M[jst, gid]
             run_rows.append(rr)
 
     # per-i-tile owner-group bound (owners sorted by uj0 within a panel)
     tile = _UPDATE_TILE
     ntiles = -(-mb_pad // tile)
-    utile_g = []
-    for ti in range(ntiles):
-        i1 = min(mb_pad, (ti + 1) * tile)
-        gmax = 1
-        for b in range(B):
-            G = int(uG[b])
-            gmax = max(gmax, int(np.searchsorted(uj0[b, :G], i1, side="left")))
-        utile_g.append(gmax)
+    # padding entries hold uj0 == mb_pad and i1 <= mb_pad, so a plain
+    # count of uj0 < i1 equals the original per-row searchsorted
+    i1s = np.minimum(mb_pad, (np.arange(ntiles) + 1) * tile)
+    counts = (uj0[None, :, :] < i1s[:, None, None]).sum(axis=2).max(axis=1)
+    utile_g = np.maximum(counts, 1).tolist()
 
     return Bucket(
         w_pad=w_pad, mb_pad=mb_pad,
@@ -635,9 +663,9 @@ def _build_bucket(
         mb=mb.astype(INDEX_DTYPE),
         col_idx=col_idx.astype(INDEX_DTYPE),
         below_idx=below_idx.astype(INDEX_DTYPE),
-        ug=ug.astype(INDEX_DTYPE),
-        ujloc=ujloc_a.astype(INDEX_DTYPE),
-        up=up.astype(INDEX_DTYPE),
+        ug=ug,
+        ujloc=ujloc_a,
+        up=up,
         urow0=urow0.astype(INDEX_DTYPE),
         ustride=ustride.astype(INDEX_DTYPE),
         uj0=uj0.astype(INDEX_DTYPE),
