@@ -46,6 +46,10 @@ def _bucket_fields(b: Bucket) -> dict:
 
 def save_plan(path: str, plan: FactorizePlan) -> None:
     """Serialize a FactorizePlan (including its SymbolicFactor) to .npz."""
+    _write(path, _plan_payload(plan))
+
+
+def _plan_payload(plan: FactorizePlan) -> dict:
     S = plan.S
     sn_row_off = np.zeros(S.ns + 1, dtype=np.int64)
     sn_row_off[1:] = np.cumsum([len(r) for r in S.sn_rows])
@@ -98,6 +102,10 @@ def save_plan(path: str, plan: FactorizePlan) -> None:
         for k, b in enumerate(lev):
             for name, arr in _bucket_fields(b).items():
                 data[f"lev{i}/b{k}/{name}"] = arr
+    return data
+
+
+def _write(path: str, data: dict) -> None:
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **data)
     os.replace(tmp, path)
@@ -194,3 +202,37 @@ def load_plan(path: str) -> FactorizePlan:
         dtype=np.dtype(bytes(z["dtype"]).decode()),
         run_tile=int(z["run_tile"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Factor serialization: the plan PLUS the numeric factor store — a complete
+# on-disk solver state (load and solve without refactorizing).
+
+
+def save_factor(path: str, F) -> None:
+    """Serialize a CholeskyFactor (plan + [R_L,128] store + equilibration
+    vector) to one .npz.  The original matrix A is NOT stored; reattach it
+    at load time (``load_factor(path, A=A)``) to enable refinement."""
+    data = _plan_payload(F.plan)
+    data["factor/Lx"] = np.asarray(F.Lx)
+    data["factor/d"] = np.asarray(F.d)
+    data["factor/scaled"] = np.int64(bool(F.scaled))
+    _write(path, data)
+
+
+def load_factor(path: str, A=None):
+    """Load a CholeskyFactor saved by save_factor.  Pass the original
+    CSCMatrix ``A`` to re-enable iterative refinement (values must match
+    the factored ones for refinement to converge)."""
+    import jax.numpy as jnp
+
+    from . import numeric as _numeric
+    from .api import CholeskyFactor
+
+    plan = load_plan(path)
+    with np.load(path, allow_pickle=False) as z:
+        Lx = jnp.asarray(z["factor/Lx"])
+        d = jnp.asarray(z["factor/d"])
+        scaled = bool(int(z["factor/scaled"]))
+    arrays = _numeric.device_arrays(plan)
+    return CholeskyFactor(plan, arrays, Lx, d, A=A, scaled=scaled)

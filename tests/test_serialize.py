@@ -84,3 +84,25 @@ def test_plan_cost_model(bcsstk01):
     sol = speed_of_light(plan, seconds=1e-3)
     assert 0 < sol["speed_of_light_fraction"]
     assert sol["roofline_bound"] in ("compute", "memory")
+
+
+def test_factor_roundtrip(tmp_path, bcsstk01):
+    """save_factor/load_factor: the loaded factor solves without
+    refactorizing and matches the original solution."""
+    from sparsecholesky_tpu.api import chol
+    from sparsecholesky_tpu.serialize import save_factor, load_factor
+
+    F = chol(bcsstk01, ordering="amd", scale=True)
+    b = np.linspace(1, 2, bcsstk01.n)
+    x0 = F.solve(b, refine=0)
+    path = str(tmp_path / "factor.npz")
+    save_factor(path, F)
+    F2 = load_factor(path)                 # no A: refinement unavailable
+    x1 = F2.solve(b, refine=0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                               rtol=1e-12, atol=1e-12)
+    F3 = load_factor(path, A=bcsstk01)     # with A: refinement works
+    x2 = F3.solve(b)
+    Asp = bcsstk01.to_scipy()
+    r = np.linalg.norm(Asp @ x2 - b) / np.linalg.norm(b)
+    assert r < 1e-10
