@@ -91,6 +91,11 @@ def cmd_factorize(args):
 
         save_plan(args.save_plan, plan)
         print(f"plan saved to {args.save_plan}")
+    if getattr(args, "save_factor", None):
+        from .serialize import save_factor
+
+        save_factor(args.save_factor, F)
+        print(f"factor saved to {args.save_factor}")
     if args.verify:
         Ld = np.tril(F.L().to_dense())
         perm = plan.perm
@@ -166,6 +171,9 @@ def main(argv=None):
     sp.add_argument("--verify", action="store_true")
     sp.add_argument("--profile", action="store_true",
                     help="print the roofline/speed-of-light report")
+    sp.add_argument("--save-factor", metavar="FILE.npz",
+                    help="serialize the full factor (plan + store) for "
+                         "later load_factor() solves")
     sp.add_argument("--save-plan", metavar="FILE.npz",
                     help="serialize the compiled plan for later reuse")
     sp.set_defaults(fn=cmd_factorize)
