@@ -17,21 +17,45 @@ import numpy as np
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _NATIVE_DIR = os.path.join(_HERE, "native")
 _SO = os.path.join(_NATIVE_DIR, "libsctsymbolic.so")
+_SRC = os.path.join(_NATIVE_DIR, "symbolic.cpp")
+_TAG = _SO + ".srchash"
 
 _lib = None
+
+
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _stale() -> bool:
+    """A fresh checkout equalizes every mtime, so make's timestamp rule
+    cannot detect a shared library built from an older source revision;
+    compare a recorded source-content hash instead."""
+    if not os.path.exists(_SO):
+        return True
+    try:
+        with open(_TAG) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    if _stale():
         subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "-s"],
+            ["make", "-C", _NATIVE_DIR, "-sB"],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        with open(_TAG, "w") as f:
+            f.write(_src_hash() + "\n")
     lib = ctypes.CDLL(_SO)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
