@@ -223,6 +223,7 @@ def chol(
     scale: bool = False,
     precision: str = "highest",
     analyze_kwargs: dict | None = None,
+    layout: str = "auto",
 ) -> CholeskyFactor:
     """Full sparse Cholesky pipeline: ordering -> symbolic -> plan -> numeric.
 
@@ -231,7 +232,8 @@ def chol(
     instead of returning std::unexpected.
     """
     perm = compute_ordering(A, ordering, grid_shape=grid_shape)
-    plan = compile_plan(A, perm=perm, dtype=dtype, analyze_kwargs=analyze_kwargs)
+    plan = compile_plan(A, perm=perm, dtype=dtype,
+                        analyze_kwargs=analyze_kwargs, layout=layout)
     arrays = _numeric.device_arrays(plan)
     Lx, d = _numeric.factorize(
         plan, A.data, arrays=arrays, backend=backend, scale=scale,

@@ -327,7 +327,7 @@ def _np_fields(b) -> dict:
     )
 
 
-def _host_panel_rows(b, R_L: int) -> np.ndarray:
+def _host_panel_rows(b, R_L: int, aligned: bool = False) -> np.ndarray:
     """numpy mirror of panel_rows (same grid layout, same OOB sentinel):
     precomputing the grid on the host removes the per-step iota/where
     index chain from the compiled scan bodies."""
@@ -342,9 +342,14 @@ def _host_panel_rows(b, R_L: int) -> np.ndarray:
     nseg = (wb + LANE - 1) // LANE
     diag = ii < wb
     below = (ii >= w_pad) & (ii - w_pad < mbb)
-    r = np.where(diag, ii, wb + (ii - w_pad))
+    if aligned:
+        # aligned store IS the panel layout: offset i maps to itself,
+        # segment stride is the static padded block height
+        stride, r = m_pad, ii
+    else:
+        stride, r = wb + mbb, np.where(diag, ii, wb + (ii - w_pad))
     ridx = np.where((diag | below) & (kk < nseg),
-                    r0 + kk * (wb + mbb) + r, R_L)
+                    r0 + kk * stride + r, R_L)
     return ridx.reshape(b.batch, m_pad * nsp).astype(np.int32)
 
 
@@ -379,6 +384,7 @@ def build_runs(plan: FactorizePlan):
     argument count O(1) instead of O(buckets) matters: thousand-leaf
     pytrees trip XLA's tuple-parameter flattening and slow dispatch.
     """
+    aligned = getattr(plan, "layout", "compact") == "aligned"
     steps = [b for lev in plan.levels for b in lev]
     chunks = {f: [] for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     offs = {f: 0 for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
@@ -389,6 +395,20 @@ def build_runs(plan: FactorizePlan):
     )
     derive = derived_bytes <= _DERIVED_CAP
     meta = []
+
+    def _slab_ok(b) -> bool:
+        """Panel slab fast path precondition: the bucket's blocks are one
+        contiguous store slab of uniform [nsp, m_pad] allocation."""
+        if not aligned:
+            return False
+        nsp = max(1, b.w_pad // LANE)
+        if b.w_pad > LANE and b.w_pad != nsp * LANE:
+            return False        # >2048 coarse tiers: lanes != segments
+        if not np.all(-(-b.w.astype(np.int64) // LANE) == nsp):
+            return False
+        m_pad = b.w_pad + b.mb_pad
+        r0 = b.row0.astype(np.int64)
+        return bool(np.all(np.diff(r0) == nsp * m_pad))
     rtile = plan.run_tile
     dummy_row = plan.R_L - rtile
     itemsize = plan.dtype.itemsize
@@ -419,13 +439,15 @@ def build_runs(plan: FactorizePlan):
             chunks[f].append(np.ascontiguousarray(arr, dtype=np.int32).ravel())
             spec[f] = (offs[f], arr.shape)
             offs[f] += arr.size
+        slab = all(_slab_ok(b) for b in group)
         # ---- host-precomputed index grids --------------------------------
         if derive:
-            # dense-instore singles never gather/scatter panels; their
-            # (huge) grid would be dead weight
+            # dense-instore singles and slab-path buckets never gather/
+            # scatter panels by grid; their (huge) grid would be dead weight
             instore = wm is not None and group[0].w_pad >= DENSE_INSTORE
-            derived = {} if instore else {
-                "pridx": [_host_panel_rows(b, plan.R_L) for b in group]}
+            derived = {} if (instore or slab) else {
+                "pridx": [_host_panel_rows(b, plan.R_L, aligned)
+                          for b in group]}
             if group[0].mb_pad:
                 derived["vsrc"] = [_host_vsrc(b) for b in group]
             for f in _DERIVED_FIELDS:
@@ -540,7 +562,8 @@ def build_runs(plan: FactorizePlan):
                 offs[f] += arr.size
         for f in _RUN_FIELDS + _DERIVED_FIELDS:
             spec.setdefault(f, None)
-        meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks))
+        meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks,
+                     slab))
         i = j
     flat = {}
     for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS:
@@ -568,8 +591,9 @@ def build_runs(plan: FactorizePlan):
 def unpack_run(flat, rmeta):
     """Rebuild one run's _BucketArrays from the flat buffers via static
     slices (free at compile time).
-    Returns (kind, bucket, utile_g, wm, rchunks)."""
-    kind, spec, utile_g, wm, rchunks = rmeta
+    Returns (kind, bucket, utile_g, wm, rchunks, slab)."""
+    kind, spec, utile_g, wm, rchunks, *rest = rmeta
+    slab = rest[0] if rest else False
     fields = {}
     for f, fs in spec:
         if fs is None:
@@ -578,7 +602,7 @@ def unpack_run(flat, rmeta):
             off, shape = fs
             size = int(np.prod(shape))
             fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
-    return kind, _BucketArrays(**fields), utile_g, wm, rchunks
+    return kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab
 
 
 def device_arrays(plan: FactorizePlan):
@@ -592,6 +616,7 @@ def device_arrays(plan: FactorizePlan):
         "flat": flat,
         "meta": _Static(meta),
         "rtile": _Static(plan.run_tile),
+        "layout": _Static(getattr(plan, "layout", "compact")),
         "entry_row": jnp.asarray(plan.entry_row.astype(np.int32)),
         "entry_lane": jnp.asarray(plan.entry_lane.astype(np.int32)),
         "entry_plo": jnp.asarray(plan.entry_plo.astype(np.int32)),
@@ -607,6 +632,10 @@ def iter_runs(arrays):
         yield unpack_run(arrays["flat"], rmeta)
 
 
+def _arrays_aligned(arrays) -> bool:
+    return "layout" in arrays and arrays["layout"].value == "aligned"
+
+
 # ---------------------------------------------------------------------------
 # Affine panel row grids (device-computed; see plan.py layout)
 
@@ -617,13 +646,17 @@ def _nseg_pad(w_pad: int) -> int:
     return max(1, w_pad // LANE)
 
 
-def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int):
+def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int,
+               aligned: bool = False):
     """int32[B, (w_pad + mb_pad) * nseg_pad] store-row indices of each
     assembled panel, lane-segment-minor within the index grid.
 
     The store is segment-major (plan.py): logical row i, lane segment k of
-    supernode s lives at store row row_off[s] + k*m + i with m the block's
-    total row count — affine in (i, k) with per-supernode scalars only.
+    supernode s lives at store row row_off[s] + k*stride + r(i), where in
+    the compact layout stride = m (the true block height) and below rows
+    directly follow the diagonal block, while in the aligned layout
+    stride = w_pad + mb_pad (the STORE's padded block height — note: NOT
+    the gather extent when mb_pad is overridden) and r(i) = i.
     Identity-padding rows [w, w_pad), below padding and out-of-range
     segments -> the out-of-bounds row R_L (gathers fill 0, scatters
     drop)."""
@@ -637,27 +670,63 @@ def panel_rows(b: _BucketArrays, R_L: int, *, w_pad: int, mb_pad: int):
     nseg = (wb + (LANE - 1)) // LANE
     diag = ii < wb
     below = (ii >= w_pad) & (ii - w_pad < mbb)
-    r = jnp.where(diag, ii, wb + (ii - w_pad))
+    if aligned:
+        stride = jnp.int32(b.w_pad + b.mb_pad)
+        r = ii
+    else:
+        stride = wb + mbb
+        r = jnp.where(diag, ii, wb + (ii - w_pad))
     ridx = jnp.where(
         (diag | below) & (kk < nseg),
-        r0 + kk * (wb + mbb) + r,
+        r0 + kk * stride + r,
         jnp.int32(R_L),
     )
     return ridx.reshape(ridx.shape[0], m_pad * nsp)
 
 
-def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None):
-    """[B, m_pad, w_pad] assembled panels: row-gather + arithmetic identity
-    padding (P[i, i] += 1 for i in [w, w_pad))."""
-    w_pad = b.w_pad
-    use_pre = b.pridx is not None and mb_pad is None
-    mb_pad = b.mb_pad if mb_pad is None else mb_pad
-    nsp = _nseg_pad(w_pad)
-    ridx = (b.pridx if use_pre
-            else panel_rows(b, R_L, w_pad=w_pad, mb_pad=mb_pad))
+def _slab_gather(Lx, b: _BucketArrays):
+    """Aligned-layout fast path: the bucket's blocks are ONE contiguous
+    [B * nsp * m_pad, LANE] store slab in panel layout (plan.py layout=
+    "aligned" + build_runs contiguity check), so panel assembly is a dense
+    slice + reshape at HBM copy bandwidth.  Padding rows read the store's
+    dead rows, which are zero at gather time (they only ever receive
+    value-preserving RMW overruns before their own step runs)."""
+    w_pad, mb_pad = b.w_pad, b.mb_pad
     m_pad = w_pad + mb_pad
-    P = jnp.take(Lx, ridx, axis=0, mode="fill", fill_value=0)
-    P = P.reshape(P.shape[0], m_pad, nsp * LANE)[:, :, :w_pad]
+    nsp = _nseg_pad(w_pad)
+    B = b.row0.shape[0]
+    slab = jax.lax.dynamic_slice(
+        Lx, (b.row0[0], jnp.int32(0)), (B * nsp * m_pad, LANE)
+    )
+    if nsp > 1:
+        P = (slab.reshape(B, nsp, m_pad, LANE)
+             .transpose(0, 2, 1, 3)
+             .reshape(B, m_pad, nsp * LANE))
+    else:
+        P = slab.reshape(B, m_pad, LANE)
+    return P[:, :, :w_pad] if w_pad < nsp * LANE else P
+
+
+def _slab_scatter(Lx, b: _BucketArrays, L):
+    """Inverse of _slab_gather: one dense slab overwrite.  Identity-padding
+    rows land as the identity (1 on the diagonal) in the store's dead rows —
+    harmless: extend-add overruns RMW-preserve them, grid-path consumers
+    read them through the OOB sentinel, and extract/refactorize never look."""
+    w_pad, mb_pad = b.w_pad, b.mb_pad
+    m_pad = w_pad + mb_pad
+    nsp = _nseg_pad(w_pad)
+    B = L.shape[0]
+    if w_pad < nsp * LANE:
+        L = jnp.pad(L, ((0, 0), (0, 0), (0, nsp * LANE - w_pad)))
+    if nsp > 1:
+        L = L.reshape(B, m_pad, nsp, LANE).transpose(0, 2, 1, 3)
+    slab = L.reshape(B * nsp * m_pad, LANE)
+    return jax.lax.dynamic_update_slice(Lx, slab, (b.row0[0], jnp.int32(0)))
+
+
+def _ident_pad(P, b: _BucketArrays, w_pad: int):
+    """Arithmetic identity padding: P[i, i] += 1 for i in [w, w_pad)."""
+    m_pad = P.shape[1]
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad, 1), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_pad), 2)
     wb = b.w[:, None, None]
@@ -665,14 +734,39 @@ def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None):
     return P + ident.astype(P.dtype)
 
 
-def scatter_panels(Lx, b: _BucketArrays, L, R_L: int):
-    """Write factored panels back: one row-scatter.  Lanes beyond w_pad are
-    zero-filled (the store's dead lanes stay zero); identity/padding rows
-    and out-of-range segments map out of bounds and drop."""
+def gather_panels(Lx, b: _BucketArrays, R_L: int, *, mb_pad: int | None = None,
+                  aligned: bool = False, slab: bool = False):
+    """[B, m_pad, w_pad] assembled panels + arithmetic identity padding
+    (P[i, i] += 1 for i in [w, w_pad)): a dense slab slice when the aligned
+    layout guarantees contiguity (``slab``), else one row-gather."""
     w_pad = b.w_pad
+    if slab and mb_pad is None:
+        return _ident_pad(_slab_gather(Lx, b), b, w_pad)
+    use_pre = b.pridx is not None and mb_pad is None
+    mb_pad = b.mb_pad if mb_pad is None else mb_pad
+    nsp = _nseg_pad(w_pad)
+    ridx = (b.pridx if use_pre
+            else panel_rows(b, R_L, w_pad=w_pad, mb_pad=mb_pad,
+                            aligned=aligned))
+    m_pad = w_pad + mb_pad
+    P = jnp.take(Lx, ridx, axis=0, mode="fill", fill_value=0)
+    P = P.reshape(P.shape[0], m_pad, nsp * LANE)[:, :, :w_pad]
+    return _ident_pad(P, b, w_pad)
+
+
+def scatter_panels(Lx, b: _BucketArrays, L, R_L: int, *,
+                   aligned: bool = False, slab: bool = False):
+    """Write factored panels back: one dense slab overwrite (``slab``) or
+    one row-scatter.  Lanes beyond w_pad are zero-filled (the store's dead
+    lanes stay zero); on the grid path, identity/padding rows and
+    out-of-range segments map out of bounds and drop."""
+    w_pad = b.w_pad
+    if slab:
+        return _slab_scatter(Lx, b, L)
     nsp = _nseg_pad(w_pad)
     ridx = (b.pridx if b.pridx is not None
-            else panel_rows(b, R_L, w_pad=w_pad, mb_pad=b.mb_pad))
+            else panel_rows(b, R_L, w_pad=w_pad, mb_pad=b.mb_pad,
+                            aligned=aligned))
     if w_pad < nsp * LANE:
         L = jnp.pad(L, ((0, 0), (0, 0), (0, nsp * LANE - w_pad)))
     L = L.reshape(L.shape[0], L.shape[1] * nsp, LANE)
@@ -826,11 +920,16 @@ DENSE_KB = 2048
 
 def _dense_instore_step(Lx, b: _BucketArrays, R_L: int, dtype, utile_g,
                         wm, extend: str = "scatter", rchunks=(),
-                        run_tile: int = 16):
+                        run_tile: int = 16, aligned: bool = False):
     w, mb = wm
-    m = w + mb
     nseg = -(-w // LANE)
     wfull = nseg * LANE
+    # logical block height: in the aligned layout the below rows sit past
+    # the identity-padding rows at offset w_pad (= bucket tier of w); the
+    # padding rows hold zeros and ride through the blocked loop inertly
+    # (zero TRSM rows, zero Schur terms)
+    boff = b.w_pad if aligned else w
+    m = boff + (b.mb_pad if aligned else mb)
     r0 = b.row0[0]
     # segment-major slab [nseg, m, LANE] -> logical dense [m, wfull]
     M = (
@@ -871,10 +970,10 @@ def _dense_instore_step(Lx, b: _BucketArrays, R_L: int, dtype, utile_g,
         (r0, jnp.int32(0)),
     )
     if mb:
-        L21x = M[w:, :]
+        L21x = M[boff:, :]
         mb_pad = b.mb_pad
-        if mb_pad > mb:
-            L21x = jnp.pad(L21x, ((0, mb_pad - mb), (0, 0)))
+        if L21x.shape[0] < mb_pad:
+            L21x = jnp.pad(L21x, ((0, mb_pad - L21x.shape[0]), (0, 0)))
         # apply_schur_update expects [B, mb_pad, w_pad] with the bucket's
         # padded width; pad/trim lanes accordingly
         w_pad = b.w_pad
@@ -996,12 +1095,13 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
     Ax = Ax.astype(jnp.result_type(Ax.dtype))
     Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
+    aligned = _arrays_aligned(arrays)
 
-    def step(Lx, b, utile_g, rchunks):
+    def step(Lx, b, utile_g, rchunks, slab):
         w_pad, mb_pad = b.w_pad, b.mb_pad
-        P = gather_panels(Lx, b, R_L)
+        P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
         L, minpiv = _panel_factor(P, w_pad, backend)
-        Lx = scatter_panels(Lx, b, L, R_L)
+        Lx = scatter_panels(Lx, b, L, R_L, aligned=aligned, slab=slab)
         if mb_pad:
             # Schur updates target strictly later levels (assembly-tree
             # ancestors), never a peer, so immediate application is safe.
@@ -1010,17 +1110,17 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
         return Lx, minpiv
 
     minpivs = []
-    for kind, rb, utile_g, wm, rchunks in iter_runs(arrays):
+    for kind, rb, utile_g, wm, rchunks, slab in iter_runs(arrays):
         if kind == "single" and wm is not None and rb.w_pad >= DENSE_INSTORE:
             Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
-                                         extend, rchunks, rtile)
+                                         extend, rchunks, rtile, aligned)
             minpivs.append(mp)
         elif kind == "single":
-            Lx, mp = step(Lx, rb, utile_g, rchunks)
+            Lx, mp = step(Lx, rb, utile_g, rchunks, slab)
             minpivs.append(mp)
         else:
             Lx, mps = jax.lax.scan(
-                lambda c, x: step(c, x, utile_g, rchunks), Lx, rb
+                lambda c, x: step(c, x, utile_g, rchunks, slab), Lx, rb
             )
             minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -1074,12 +1174,13 @@ def _init_jit(arrays, Ax, R_L, dtype, scale):
 def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
                precision="highest", extend="scatter"):
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
+    aligned = _arrays_aligned(arrays)
 
-    def step(Lx, b, utile_g, rchunks):
+    def step(Lx, b, utile_g, rchunks, slab):
         w_pad, mb_pad = b.w_pad, b.mb_pad
-        P = gather_panels(Lx, b, R_L)
+        P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
         L, minpiv = _panel_factor(P, w_pad, backend)
-        Lx = scatter_panels(Lx, b, L, R_L)
+        Lx = scatter_panels(Lx, b, L, R_L, aligned=aligned, slab=slab)
         if mb_pad:
             Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype,
                                     utile_g, extend, rchunks, rtile)
@@ -1088,18 +1189,19 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
     minpivs = []
     with jax.default_matmul_precision(precision):
         for rmeta in arrays["meta"].value[lo:hi]:
-            kind, rb, utile_g, wm, rchunks = unpack_run(arrays["flat"], rmeta)
+            kind, rb, utile_g, wm, rchunks, slab = unpack_run(
+                arrays["flat"], rmeta)
             if (kind == "single" and wm is not None
                     and rb.w_pad >= DENSE_INSTORE):
                 Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
-                                             extend, rchunks, rtile)
+                                             extend, rchunks, rtile, aligned)
                 minpivs.append(mp)
             elif kind == "single":
-                Lx, mp = step(Lx, rb, utile_g, rchunks)
+                Lx, mp = step(Lx, rb, utile_g, rchunks, slab)
                 minpivs.append(mp)
             else:
                 Lx, mps = jax.lax.scan(
-                    lambda c, x: step(c, x, utile_g, rchunks), Lx, rb
+                    lambda c, x: step(c, x, utile_g, rchunks, slab), Lx, rb
                 )
                 minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -1231,9 +1333,11 @@ def refactorize(plan: FactorizePlan, Ax, arrays, **kw):
 
 
 def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
+    aligned = _arrays_aligned(arrays)
+
     def one(b):
         w_pad = b.w_pad
-        P11 = gather_panels(Lx, b, R_L, mb_pad=0)
+        P11 = gather_panels(Lx, b, R_L, mb_pad=0, aligned=aligned)
         L11 = jnp.tril(P11)
         eye = jnp.broadcast_to(jnp.eye(w_pad, dtype=dtype), P11.shape)
         return jax.lax.linalg.triangular_solve(
@@ -1241,7 +1345,7 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
         )
 
     out = []
-    for kind, rb, _ug, _wm, _rc in iter_runs(arrays):
+    for kind, rb, _ug, _wm, _rc, _slab in iter_runs(arrays):
         if kind == "single":
             out.append(one(rb))
         else:

@@ -147,6 +147,11 @@ def _touched_wide_segments(plan, owner, wide, ndev):
 
 def build_layout(plan: FactorizePlan, ndev: int,
                  wide_nseg: int | None = None) -> StoreLayout:
+    if getattr(plan, "layout", "compact") != "compact":
+        raise ValueError(
+            "the partitioned/sharded store requires a compact-layout plan "
+            "(compile_plan(..., layout=\"compact\")); the aligned layout "
+            "is single-chip only")
     owner, _is_top = subtree_partition(plan, ndev)
     ns = plan.ns
     nrows_of = (plan.block_m * plan.block_nseg).astype(np.int64)
@@ -322,6 +327,11 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
     at least that many lane segments are segment-cyclically distributed
     and factored cooperatively (see _wide_step).
     """
+    if getattr(plan, "layout", "compact") != "compact":
+        raise ValueError(
+            "the partitioned/sharded store requires a compact-layout plan "
+            "(compile_plan(..., layout=\"compact\")); the aligned layout "
+            "is single-chip only")
     lay = build_layout(plan, ndev, wide_nseg)
     owner = lay.owner
     wide = lay.wide

@@ -400,6 +400,11 @@ def factorize_sharded(plan: FactorizePlan, Ax, mesh: Mesh, *, arrays=None,
     every device, identical to the single-chip result up to float summation
     order inside psum) and the equilibration vector.
     """
+    if getattr(plan, "layout", "compact") != "compact":
+        raise ValueError(
+            "the partitioned/sharded store requires a compact-layout plan "
+            "(compile_plan(..., layout=\"compact\")); the aligned layout "
+            "is single-chip only")
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if arrays is None:

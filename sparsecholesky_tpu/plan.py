@@ -129,6 +129,20 @@ def _pad_w(w: int, tiers=_PAD_PROFILES["fine"][0]) -> int:
     return -(-w // 512) * 512
 
 
+def _pad_w_vec(w: np.ndarray, tiers) -> np.ndarray:
+    t = np.asarray(tiers, dtype=np.int64)
+    out = t[np.minimum(np.searchsorted(t, w), len(t) - 1)]
+    out = np.where(w <= t[-1], out, -(-w // LANE) * LANE)
+    return np.where(w <= 2048, out, -(-w // 512) * 512)
+
+
+def _pad_mb_vec(mb: np.ndarray, tiers, coarse: int) -> np.ndarray:
+    t = np.asarray(tiers, dtype=np.int64)
+    out = t[np.minimum(np.searchsorted(t, mb), len(t) - 1)]
+    out = np.where(mb <= t[-1], out, -(-mb // coarse) * coarse)
+    return np.where(mb == 0, 0, out)
+
+
 def _pad_mb(mb: int, tiers=_PAD_PROFILES["fine"][1], coarse: int = 512) -> int:
     if mb == 0:
         return 0
@@ -294,6 +308,29 @@ class FactorizePlan:
     levels: list[list[Bucket]]
     dtype: np.dtype
     run_tile: int = RUN_TILE  # extend-add RMW window rows (_select_run_tile)
+    # Store layout (see module docstring):
+    #   "compact": supernode s's segment k occupies block_m[s] rows at
+    #     row_off[s] + k*block_m[s]; below rows directly follow the diagonal
+    #     block (offset block_w[s]).  Row offsets in supernode-id order.
+    #   "aligned": each supernode's block is padded to its bucket's panel
+    #     shape — segment stride seg_stride[s] = w_pad + mb_pad rows, below
+    #     rows at offset below_off[s] = w_pad — and blocks are laid out in
+    #     STEP order so a bucket's panels are ONE contiguous store slab.
+    #     Panel assembly then runs as a dense slice + reshape at HBM copy
+    #     bandwidth instead of a row-granular gather (the measured ~10 GB/s
+    #     datapath floor of the compact layout), at the cost of a larger
+    #     store (the padding rows).
+    layout: str = "compact"
+    below_off: np.ndarray | None = None   # int64[ns] row offset of below rows
+    seg_stride: np.ndarray | None = None  # int64[ns] store rows per segment
+
+    def __post_init__(self):
+        # compact-layout defaults (also upgrades plans deserialized from
+        # pre-layout archives)
+        if self.below_off is None:
+            self.below_off = self.block_w.astype(np.int64)
+        if self.seg_stride is None:
+            self.seg_stride = self.block_m.astype(np.int64)
 
     @property
     def ns(self) -> int:
@@ -313,17 +350,22 @@ class FactorizePlan:
 
     def block(self, Lx2d: np.ndarray, s: int) -> np.ndarray:
         """Host view of supernode s's (m x w) block from the 2D store
-        (segment-major: segment k occupies rows [r0 + k*m, r0 + (k+1)*m))."""
+        (segment-major: segment k occupies rows [r0 + k*stride, ...); in the
+        aligned layout the below rows sit at offset below_off[s] and the
+        padding rows in between are skipped)."""
         r0 = int(self.row_off[s])
         m = int(self.block_m[s])
         w = int(self.block_w[s])
         nseg = int(self.block_nseg[s])
+        stride = int(self.seg_stride[s])
+        boff = int(self.below_off[s])
         rows = (
-            np.asarray(Lx2d[r0 : r0 + m * nseg])
-            .reshape(nseg, m, LANE)
+            np.asarray(Lx2d[r0 : r0 + stride * nseg])
+            .reshape(nseg, stride, LANE)
             .transpose(1, 0, 2)
-            .reshape(m, nseg * LANE)
+            .reshape(stride, nseg * LANE)
         )
+        rows = np.concatenate([rows[:w], rows[boff : boff + (m - w)]])
         return rows[:, :w]
 
     def extract_csc(self, Lx2d: np.ndarray, row_scale: np.ndarray | None = None
@@ -389,13 +431,22 @@ def compile_plan(
     dtype=None,
     analyze_kwargs: dict | None = None,
     pad_profile: str | None = None,
+    layout: str = "compact",
 ) -> FactorizePlan:
     """Compile the static factorization plan for A (optionally permuted).
 
     ``perm`` maps permuted index -> original index; the factorization is of
     P A P^T.  ``S`` must be the symbolic analysis of the *permuted* matrix;
     if omitted it is computed here.
+
+    ``layout`` selects the store layout (see FactorizePlan): "aligned" is
+    the fast single-chip layout (panel assembly = dense slab slices);
+    "compact" is the minimal-memory layout required by the partitioned
+    multi-chip store (parallel/pstore.py); "auto" picks aligned unless the
+    padded store would exceed SPARSECHOL_ALIGN_CAP bytes (default 8 GiB).
     """
+    if layout not in ("compact", "aligned", "auto"):
+        raise ValueError(f"unknown store layout {layout!r}")
     if A.sym != "upper":
         raise SymbolicError("compile_plan expects canonical upper CSC")
     if A.n == 0:
@@ -425,10 +476,54 @@ def compile_plan(
     block_w = (S.sn_ptr[1:] - S.sn_ptr[:-1]).astype(np.int64)
     block_m = np.array([len(r) for r in S.sn_rows], dtype=np.int64)
     block_nseg = -(-block_w // LANE)
-    block_rows = block_m * block_nseg
-    row_off = np.zeros(ns, dtype=np.int64)
-    np.cumsum(block_rows[:-1], out=row_off[1:])
-    R_L = int(block_rows.sum()) + STORE_TAIL_PAD
+
+    # padded bucket key per supernode (shared by the store layout and the
+    # per-level bucket grouping below — they MUST agree)
+    wt, mbt, mbc = _profile(pad_profile)
+    w_pad_s = _pad_w_vec(block_w, wt)
+    mb_pad_s = _pad_mb_vec(block_m - block_w, mbt, mbc)
+
+    if layout == "auto":
+        import os
+
+        aligned_rows = int(
+            ((w_pad_s + mb_pad_s) * block_nseg).sum()
+        ) + STORE_TAIL_PAD
+        cap = int(os.environ.get("SPARSECHOL_ALIGN_CAP", 8 * 2**30))
+        itemsize = np.dtype(dtype or A.data.dtype).itemsize
+        layout = "aligned" if aligned_rows * LANE * itemsize <= cap \
+            else "compact"
+
+    if layout == "aligned":
+        below_off = w_pad_s.astype(np.int64)
+        seg_stride = (w_pad_s + mb_pad_s).astype(np.int64)
+        block_alloc = seg_stride * block_nseg
+        # step-order allocation: iterate levels, buckets in sorted-key
+        # order, members in level order — each bucket's blocks become one
+        # contiguous slab
+        order = []
+        for lev in S.levels:
+            groups: dict[tuple[int, int], list[int]] = {}
+            for s in lev:
+                s = int(s)
+                groups.setdefault(
+                    (int(w_pad_s[s]), int(mb_pad_s[s])), []
+                ).append(s)
+            for key in sorted(groups):
+                order.extend(groups[key])
+        order = np.asarray(order, dtype=np.int64)
+        sizes = block_alloc[order]
+        offs = np.zeros(len(order), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=offs[1:])
+        row_off = np.zeros(ns, dtype=np.int64)
+        row_off[order] = offs
+    else:
+        below_off = block_w.astype(np.int64)
+        seg_stride = block_m.astype(np.int64)
+        block_alloc = block_m * block_nseg
+        row_off = np.zeros(ns, dtype=np.int64)
+        np.cumsum(block_alloc[:-1], out=row_off[1:])
+    R_L = int(block_alloc.sum()) + STORE_TAIL_PAD
     if R_L + 2 >= np.iinfo(np.int32).max:
         raise SymbolicError(
             f"block store of {R_L} rows exceeds int32 addressing; "
@@ -461,11 +556,13 @@ def compile_plan(
     t = S.sn_id[lo].astype(np.int64)
     pos = _positions(t, hi)
     jloc = lo - sn_ptr[t]
+    # aligned layout: below positions shift past the identity-padding rows
+    off = pos + (pos >= block_w[t]) * (below_off[t] - block_w[t])
     entry_row = np.empty(A.nnz, dtype=np.int64)
     entry_lane = np.empty(A.nnz, dtype=np.int64)
     entry_plo = np.empty(A.nnz, dtype=np.int64)
     entry_phi = np.empty(A.nnz, dtype=np.int64)
-    entry_row[pAe] = row_off[t] + (jloc // LANE) * block_m[t] + pos
+    entry_row[pAe] = row_off[t] + (jloc // LANE) * seg_stride[t] + off
     entry_lane[pAe] = jloc % LANE
     entry_plo[pAe] = lo
     entry_phi[pAe] = hi
@@ -478,15 +575,12 @@ def compile_plan(
         raise SymbolicError("matrix has structurally missing diagonal entries")
 
     # ---- per-level buckets ---------------------------------------------
-    wt, mbt, mbc = _profile(pad_profile)
     levels_out: list[list[Bucket]] = []
     for lev in S.levels:
         groups: dict[tuple[int, int], list[int]] = {}
         for s in lev:
             s = int(s)
-            w = int(block_w[s])
-            mb = int(block_m[s]) - w
-            key = (_pad_w(w, wt), _pad_mb(mb, mbt, mbc))
+            key = (int(w_pad_s[s]), int(mb_pad_s[s]))
             groups.setdefault(key, []).append(s)
         buckets = []
         for (w_pad, mb_pad), sns in sorted(groups.items()):
@@ -494,6 +588,7 @@ def compile_plan(
                 _build_bucket(
                     S, sns, w_pad, mb_pad, row_off, block_w, block_m,
                     block_nseg, sn_row_off, K, n,
+                    below_off=below_off, seg_stride=seg_stride,
                 )
             )
         levels_out.append(buckets)
@@ -516,13 +611,20 @@ def compile_plan(
         levels=levels_out,
         dtype=np.dtype(dtype or A.data.dtype),
         run_tile=_select_run_tile(levels_out),
+        layout=layout,
+        below_off=below_off,
+        seg_stride=seg_stride,
     )
 
 
 def _build_bucket(
     S, sns, w_pad, mb_pad, row_off, block_w, block_m, block_nseg,
-    sn_row_off, K, n
+    sn_row_off, K, n, *, below_off=None, seg_stride=None,
 ) -> Bucket:
+    if below_off is None:
+        below_off = block_w
+    if seg_stride is None:
+        seg_stride = block_m
     B = len(sns)
     sns_a = np.asarray(sns, dtype=np.int64)
     row0 = row_off[sns_a]
@@ -587,10 +689,10 @@ def _build_bucket(
         ujloc_a[b, :mbb] = jloc % LANE
         dt = distinct // segbound          # owner supernode of each group
         dseg = distinct % segbound         # owner lane segment
-        # segment-major store: owner segment dseg starts m_t rows into the
-        # owner's block, and consecutive positions are consecutive store
-        # rows (stride 1) for every owner width
-        urow0[b, :G] = row_off[dt] + dseg * block_m[dt]
+        # segment-major store: owner segment dseg starts seg_stride[t] rows
+        # into the owner's block, and consecutive positions are consecutive
+        # store rows (stride 1) for every owner width
+        urow0[b, :G] = row_off[dt] + dseg * seg_stride[dt]
         ustride[b, :G] = 1
         uj0[b, :G] = np.searchsorted(keys, distinct)
         for gi, t in enumerate(dt.tolist()):
@@ -609,7 +711,15 @@ def _build_bucket(
     for t, pi, gi in inc:
         if t != cur_t:
             rows_t = S.sn_rows[t]
-            tmp[rows_t] = np.arange(len(rows_t), dtype=np.int64)
+            offv = np.arange(len(rows_t), dtype=np.int64)
+            # store-row offset within the owner's segment: below positions
+            # shift past the owner's identity-padding rows (aligned layout;
+            # compact: below_off == w, no-op).  Runs of consecutive
+            # positions crossing the w boundary split automatically at the
+            # diff != 1 break below.
+            wt_ = int(block_w[t])
+            offv[wt_:] += int(below_off[t]) - wt_
+            tmp[rows_t] = offv
             cur_t = t
         b, br = per_sn[pi][0], per_sn[pi][1]
         up[b, : len(br), gi] = tmp[br]

@@ -22,7 +22,7 @@ from .csc import INDEX_DTYPE
 from .plan import Bucket, FactorizePlan
 from .symbolic import SymbolicFactor
 
-_FORMAT_VERSION = 5  # v5: segment-major store layout for wide supernodes
+_FORMAT_VERSION = 6  # v6: store layout flag + per-sn below_off/seg_stride
 
 
 def _bucket_fields(b: Bucket) -> dict:
@@ -67,6 +67,9 @@ def _plan_payload(plan: FactorizePlan) -> dict:
         "n": np.int64(plan.n),
         "R_L": np.int64(plan.R_L),
         "run_tile": np.int64(plan.run_tile),
+        "layout": np.frombuffer(plan.layout.encode(), dtype=np.uint8),
+        "below_off": plan.below_off,
+        "seg_stride": plan.seg_stride,
         "dtype": np.frombuffer(str(plan.dtype).encode(), dtype=np.uint8),
         "perm": plan.perm,
         "iperm": plan.iperm,
@@ -201,6 +204,9 @@ def load_plan(path: str) -> FactorizePlan:
         levels=levels,
         dtype=np.dtype(bytes(z["dtype"]).decode()),
         run_tile=int(z["run_tile"]),
+        layout=bytes(z["layout"]).decode() if "layout" in z else "compact",
+        below_off=z["below_off"] if "below_off" in z else None,
+        seg_stride=z["seg_stride"] if "seg_stride" in z else None,
     )
 
 
