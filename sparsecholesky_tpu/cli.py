@@ -133,6 +133,14 @@ def cmd_info(args):
     print("\n".join(lines[: args.max_lines]))
     if len(lines) > args.max_lines:
         print(f"... ({len(lines) - args.max_lines} more supernodes)")
+    if args.ndev:
+        # estimated multi-chip balance of the partitioned store/compute
+        from .plan import compile_plan
+        from .parallel import pstore
+
+        plan = compile_plan(A, layout="compact")
+        lay = pstore.build_layout(plan, args.ndev, wide_nseg=2)
+        print(json.dumps(pstore.partition_report(plan, lay), indent=2))
     return 0
 
 
@@ -194,6 +202,9 @@ def main(argv=None):
     sp = sub.add_parser("info", help="symbolic analysis summary")
     sp.add_argument("matrix", nargs="?", default="1138_bus")
     sp.add_argument("--max-lines", type=int, default=30)
+    sp.add_argument("--ndev", type=int, default=0,
+                    help="also print the estimated per-chip flop/memory "
+                         "balance of the partitioned plan at N chips")
     sp.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
