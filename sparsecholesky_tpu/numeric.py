@@ -384,7 +384,20 @@ def build_runs(plan: FactorizePlan):
     argument count O(1) instead of O(buckets) matters: thousand-leaf
     pytrees trip XLA's tuple-parameter flattening and slow dispatch.
     """
-    aligned = getattr(plan, "layout", "compact") == "aligned"
+    # Per-bucket aligned addressing, derived from the placement arrays
+    # (works for pure-aligned, hybrid, and exact-tier-fit compact buckets
+    # alike: when seg_stride == m_pad and below_off == w_pad the aligned
+    # and compact address formulas coincide row-for-row).
+    _ss = np.asarray(getattr(plan, "seg_stride", plan.block_m),
+                     dtype=np.int64)
+    _bo = np.asarray(getattr(plan, "below_off", plan.block_w),
+                     dtype=np.int64)
+
+    def _b_aligned(b) -> bool:
+        sns = b.sn_ids
+        return bool(np.all(_ss[sns] == b.w_pad + b.mb_pad)
+                    and np.all(_bo[sns] == b.w_pad))
+
     steps = [b for lev in plan.levels for b in lev]
     chunks = {f: [] for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     offs = {f: 0 for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
@@ -399,7 +412,7 @@ def build_runs(plan: FactorizePlan):
     def _slab_ok(b) -> bool:
         """Panel slab fast path precondition: the bucket's blocks are one
         contiguous store slab of uniform [nsp, m_pad] allocation."""
-        if not aligned:
+        if not _b_aligned(b):
             return False
         nsp = max(1, b.w_pad // LANE)
         if b.w_pad > LANE and b.w_pad != nsp * LANE:
@@ -414,9 +427,12 @@ def build_runs(plan: FactorizePlan):
     itemsize = plan.dtype.itemsize
     i = 0
     while i < len(steps):
-        sig = _bucket_sig(steps[i])
+        # addressing mode is static per compiled step body, so hybrid
+        # plans must not mix aligned and compact buckets in one scan
+        sig = (_bucket_sig(steps[i]), _b_aligned(steps[i]))
         j = i + 1
-        while j < len(steps) and _bucket_sig(steps[j]) == sig:
+        while (j < len(steps)
+               and (_bucket_sig(steps[j]), _b_aligned(steps[j])) == sig):
             j += 1
         group = steps[i:j]
         kind = "scan" if j - i >= 2 else "single"
@@ -440,13 +456,14 @@ def build_runs(plan: FactorizePlan):
             spec[f] = (offs[f], arr.shape)
             offs[f] += arr.size
         slab = all(_slab_ok(b) for b in group)
+        galigned = _b_aligned(group[0])
         # ---- host-precomputed index grids --------------------------------
         if derive:
             # dense-instore singles and slab-path buckets never gather/
             # scatter panels by grid; their (huge) grid would be dead weight
             instore = wm is not None and group[0].w_pad >= DENSE_INSTORE
             derived = {} if (instore or slab) else {
-                "pridx": [_host_panel_rows(b, plan.R_L, aligned)
+                "pridx": [_host_panel_rows(b, plan.R_L, galigned)
                           for b in group]}
             if group[0].mb_pad:
                 derived["vsrc"] = [_host_vsrc(b) for b in group]
@@ -563,7 +580,7 @@ def build_runs(plan: FactorizePlan):
         for f in _RUN_FIELDS + _DERIVED_FIELDS:
             spec.setdefault(f, None)
         meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks,
-                     slab))
+                     slab, galigned))
         i = j
     flat = {}
     for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS:
@@ -591,9 +608,10 @@ def build_runs(plan: FactorizePlan):
 def unpack_run(flat, rmeta):
     """Rebuild one run's _BucketArrays from the flat buffers via static
     slices (free at compile time).
-    Returns (kind, bucket, utile_g, wm, rchunks, slab)."""
+    Returns (kind, bucket, utile_g, wm, rchunks, slab, aligned)."""
     kind, spec, utile_g, wm, rchunks, *rest = rmeta
     slab = rest[0] if rest else False
+    baligned = rest[1] if len(rest) > 1 else False
     fields = {}
     for f, fs in spec:
         if fs is None:
@@ -602,7 +620,7 @@ def unpack_run(flat, rmeta):
             off, shape = fs
             size = int(np.prod(shape))
             fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
-    return kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab
+    return kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab, baligned
 
 
 def device_arrays(plan: FactorizePlan):
@@ -630,10 +648,6 @@ def device_arrays(plan: FactorizePlan):
 def iter_runs(arrays):
     for rmeta in arrays["meta"].value:
         yield unpack_run(arrays["flat"], rmeta)
-
-
-def _arrays_aligned(arrays) -> bool:
-    return "layout" in arrays and arrays["layout"].value == "aligned"
 
 
 # ---------------------------------------------------------------------------
@@ -1095,9 +1109,8 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
     Ax = Ax.astype(jnp.result_type(Ax.dtype))
     Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
-    aligned = _arrays_aligned(arrays)
 
-    def step(Lx, b, utile_g, rchunks, slab):
+    def step(Lx, b, utile_g, rchunks, slab, aligned):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
         L, minpiv = _panel_factor(P, w_pad, backend)
@@ -1110,17 +1123,17 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
         return Lx, minpiv
 
     minpivs = []
-    for kind, rb, utile_g, wm, rchunks, slab in iter_runs(arrays):
+    for kind, rb, utile_g, wm, rchunks, slab, al in iter_runs(arrays):
         if kind == "single" and wm is not None and rb.w_pad >= DENSE_INSTORE:
             Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
-                                         extend, rchunks, rtile, aligned)
+                                         extend, rchunks, rtile, al)
             minpivs.append(mp)
         elif kind == "single":
-            Lx, mp = step(Lx, rb, utile_g, rchunks, slab)
+            Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al)
             minpivs.append(mp)
         else:
             Lx, mps = jax.lax.scan(
-                lambda c, x: step(c, x, utile_g, rchunks, slab), Lx, rb
+                lambda c, x: step(c, x, utile_g, rchunks, slab, al), Lx, rb
             )
             minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -1174,9 +1187,8 @@ def _init_jit(arrays, Ax, R_L, dtype, scale):
 def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
                precision="highest", extend="scatter"):
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
-    aligned = _arrays_aligned(arrays)
 
-    def step(Lx, b, utile_g, rchunks, slab):
+    def step(Lx, b, utile_g, rchunks, slab, aligned):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
         L, minpiv = _panel_factor(P, w_pad, backend)
@@ -1189,19 +1201,20 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
     minpivs = []
     with jax.default_matmul_precision(precision):
         for rmeta in arrays["meta"].value[lo:hi]:
-            kind, rb, utile_g, wm, rchunks, slab = unpack_run(
+            kind, rb, utile_g, wm, rchunks, slab, al = unpack_run(
                 arrays["flat"], rmeta)
             if (kind == "single" and wm is not None
                     and rb.w_pad >= DENSE_INSTORE):
                 Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
-                                             extend, rchunks, rtile, aligned)
+                                             extend, rchunks, rtile, al)
                 minpivs.append(mp)
             elif kind == "single":
-                Lx, mp = step(Lx, rb, utile_g, rchunks, slab)
+                Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al)
                 minpivs.append(mp)
             else:
                 Lx, mps = jax.lax.scan(
-                    lambda c, x: step(c, x, utile_g, rchunks, slab), Lx, rb
+                    lambda c, x: step(c, x, utile_g, rchunks, slab, al),
+                    Lx, rb
                 )
                 minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -1333,9 +1346,7 @@ def refactorize(plan: FactorizePlan, Ax, arrays, **kw):
 
 
 def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
-    aligned = _arrays_aligned(arrays)
-
-    def one(b):
+    def one(b, aligned):
         w_pad = b.w_pad
         P11 = gather_panels(Lx, b, R_L, mb_pad=0, aligned=aligned)
         L11 = jnp.tril(P11)
@@ -1345,11 +1356,11 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
         )
 
     out = []
-    for kind, rb, _ug, _wm, _rc, _slab in iter_runs(arrays):
+    for kind, rb, _ug, _wm, _rc, _slab, al in iter_runs(arrays):
         if kind == "single":
-            out.append(one(rb))
+            out.append(one(rb, al))
         else:
-            out.append(jax.lax.scan(lambda c, b: (c, one(b)), 0, rb)[1])
+            out.append(jax.lax.scan(lambda c, b: (c, one(b, al)), 0, rb)[1])
     return out
 
 

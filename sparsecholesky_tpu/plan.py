@@ -320,6 +320,11 @@ class FactorizePlan:
     #     bandwidth instead of a row-granular gather (the measured ~10 GB/s
     #     datapath floor of the compact layout), at the cost of a larger
     #     store (the padding rows).
+    #   "hybrid": per-bucket-key mix — keys chosen by compile_plan get
+    #     aligned placement (and the slab fast path), the rest compact;
+    #     per-supernode below_off/seg_stride carry the truth and
+    #     numeric.build_runs re-derives each bucket's addressing from
+    #     them, so the execution layer has no layout-global switch.
     layout: str = "compact"
     below_off: np.ndarray | None = None   # int64[ns] row offset of below rows
     seg_stride: np.ndarray | None = None  # int64[ns] store rows per segment
@@ -442,10 +447,14 @@ def compile_plan(
     ``layout`` selects the store layout (see FactorizePlan): "aligned" is
     the fast single-chip layout (panel assembly = dense slab slices);
     "compact" is the minimal-memory layout required by the partitioned
-    multi-chip store (parallel/pstore.py); "auto" picks aligned unless the
-    padded store would exceed SPARSECHOL_ALIGN_CAP bytes (default 8 GiB).
+    multi-chip store (parallel/pstore.py); "hybrid" aligns only the
+    bucket keys with the best panel-traffic-per-padding-row ratio under
+    the SPARSECHOL_ALIGN_CAP budget (the big-plan middle ground: hot
+    small buckets slab, the wide separators stay compact); "auto" picks
+    aligned when the fully padded store fits SPARSECHOL_ALIGN_CAP bytes
+    (default 8 GiB), else hybrid.
     """
-    if layout not in ("compact", "aligned", "auto"):
+    if layout not in ("compact", "aligned", "hybrid", "auto"):
         raise ValueError(f"unknown store layout {layout!r}")
     if A.sym != "upper":
         raise SymbolicError("compile_plan expects canonical upper CSC")
@@ -483,20 +492,62 @@ def compile_plan(
     w_pad_s = _pad_w_vec(block_w, wt)
     mb_pad_s = _pad_mb_vec(block_m - block_w, mbt, mbc)
 
-    if layout == "auto":
-        import os
+    import os
 
+    cap = int(os.environ.get("SPARSECHOL_ALIGN_CAP", 8 * 2**30))
+    itemsize = np.dtype(dtype or A.data.dtype).itemsize
+    if layout == "auto":
         aligned_rows = int(
             ((w_pad_s + mb_pad_s) * block_nseg).sum()
         ) + STORE_TAIL_PAD
-        cap = int(os.environ.get("SPARSECHOL_ALIGN_CAP", 8 * 2**30))
-        itemsize = np.dtype(dtype or A.data.dtype).itemsize
         layout = "aligned" if aligned_rows * LANE * itemsize <= cap \
-            else "compact"
+            else "hybrid"
 
-    if layout == "aligned":
-        below_off = w_pad_s.astype(np.int64)
-        seg_stride = (w_pad_s + mb_pad_s).astype(np.int64)
+    if layout in ("aligned", "hybrid"):
+        m_pad_s = w_pad_s + mb_pad_s
+        if layout == "aligned":
+            sn_aligned = np.ones(ns, dtype=bool)
+        else:
+            # Hybrid: align (pad + slab-place) only the bucket keys whose
+            # panel-assembly traffic best justifies their padding rows,
+            # under the SPARSECHOL_ALIGN_CAP store budget.  Eligibility =
+            # the key can actually take the dense-slab fast path
+            # (numeric._slab_ok: segments per store block == w_pad/LANE
+            # uniformly) and is not an in-store dense separator (which
+            # never gathers panels, so alignment buys nothing there).
+            nsp_s = np.maximum(1, w_pad_s // LANE)
+            slabbable = (block_nseg == nsp_s) & (
+                (w_pad_s <= LANE) | (w_pad_s == nsp_s * LANE)
+            )
+            # DENSE_INSTORE mirror (numeric.DENSE_INSTORE; kept in sync by
+            # tests/test_layout.py::test_hybrid_instore_threshold)
+            slabbable &= w_pad_s < 4096
+            extra_s = (m_pad_s - block_m) * block_nseg      # rows added
+            traffic_s = nsp_s * m_pad_s                     # rows copied
+            keys = {}
+            for s in range(ns):
+                k = (int(w_pad_s[s]), int(mb_pad_s[s]))
+                e = keys.setdefault(k, [0, 0, True])
+                e[0] += int(extra_s[s])
+                e[1] += int(traffic_s[s])
+                e[2] = e[2] and bool(slabbable[s])
+            compact_rows = int((block_m * block_nseg).sum()) + STORE_TAIL_PAD
+            budget = cap // (LANE * itemsize) - compact_rows
+            take = set()
+            order_keys = sorted(
+                (k for k, (ex, tr, el) in keys.items() if el),
+                key=lambda k: keys[k][1] / (keys[k][0] + 1), reverse=True,
+            )
+            for k in order_keys:
+                ex = keys[k][0]
+                if ex <= budget:
+                    take.add(k)
+                    budget -= ex
+            sn_aligned = np.array(
+                [(int(w_pad_s[s]), int(mb_pad_s[s])) in take
+                 for s in range(ns)], dtype=bool)
+        below_off = np.where(sn_aligned, w_pad_s, block_w).astype(np.int64)
+        seg_stride = np.where(sn_aligned, m_pad_s, block_m).astype(np.int64)
         block_alloc = seg_stride * block_nseg
         # step-order allocation: iterate levels, buckets in sorted-key
         # order, members in level order — each bucket's blocks become one

@@ -54,31 +54,32 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
     # copies here and _make_steps used to duplicate line-for-line)
     fstep, bstep = _make_steps(arrays, Lx, n, R_L, dtype)
 
-    runs = [(k, rb, sl) for k, rb, _u, _wm, _rc, sl in iter_runs(arrays)]
+    runs = [(k, rb, sl, al)
+            for k, rb, _u, _wm, _rc, sl, al in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)
 
     # ---- forward: L y = b ----
-    for (kind, rb, sl), Dinv in zip(runs, lv):
+    for (kind, rb, sl, al), Dinv in zip(runs, lv):
         if kind == "single":
-            y = fstep(y, rb, Dinv, sl)
+            y = fstep(y, rb, Dinv, sl, al)
         else:
             xs = (rb, Dinv) if Dinv is not None else (rb,)
             y = jax.lax.scan(
-                lambda c, x, sl=sl: (
-                    fstep(c, x[0], x[1] if len(x) > 1 else None, sl), 0),
+                lambda c, x, sl=sl, al=al: (
+                    fstep(c, x[0], x[1] if len(x) > 1 else None, sl, al), 0),
                 y, xs,
             )[0]
 
     # ---- backward: L^T x = y ----
     x = y
-    for (kind, rb, sl), Dinv in zip(reversed(runs), list(reversed(lv))):
+    for (kind, rb, sl, al), Dinv in zip(reversed(runs), list(reversed(lv))):
         if kind == "single":
-            x = bstep(x, rb, Dinv, sl)
+            x = bstep(x, rb, Dinv, sl, al)
         else:
             xs = (rb, Dinv) if Dinv is not None else (rb,)
             x = jax.lax.scan(
-                lambda c, t, sl=sl: (
-                    bstep(c, t[0], t[1] if len(t) > 1 else None, sl), 0),
+                lambda c, t, sl=sl, al=al: (
+                    bstep(c, t[0], t[1] if len(t) > 1 else None, sl, al), 0),
                 x, xs, reverse=True,
             )[0]
 
@@ -115,7 +116,8 @@ def _sweep_chunk(arrays, Lx, vec, d, linv, n, R_L, dtype, lo, hi, forward,
 
 def _sweep_impl(arrays, Lx, vec, d, *, n, R_L, dtype, linv, forward, first):
     """One direction of the solve over the runs in ``arrays`` only."""
-    runs = [(k, rb, sl) for k, rb, _u, _wm, _rc, sl in iter_runs(arrays)]
+    runs = [(k, rb, sl, al)
+            for k, rb, _u, _wm, _rc, sl, al in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)
     fstep, bstep = _make_steps(arrays, Lx, n, R_L, dtype)
     if first and forward:
@@ -125,25 +127,28 @@ def _sweep_impl(arrays, Lx, vec, d, *, n, R_L, dtype, linv, forward, first):
             vec = vec[:, None]
         vec = vec[arrays["perm"]] * d[:, None]
     if forward:
-        for (kind, rb, sl), Dinv in zip(runs, lv):
+        for (kind, rb, sl, al), Dinv in zip(runs, lv):
             if kind == "single":
-                vec = fstep(vec, rb, Dinv, sl)
+                vec = fstep(vec, rb, Dinv, sl, al)
             else:
                 xs = (rb, Dinv) if Dinv is not None else (rb,)
                 vec = jax.lax.scan(
-                    lambda c, x, sl=sl: (
-                        fstep(c, x[0], x[1] if len(x) > 1 else None, sl), 0),
+                    lambda c, x, sl=sl, al=al: (
+                        fstep(c, x[0], x[1] if len(x) > 1 else None,
+                              sl, al), 0),
                     vec, xs,
                 )[0]
     else:
-        for (kind, rb, sl), Dinv in zip(reversed(runs), list(reversed(lv))):
+        for (kind, rb, sl, al), Dinv in zip(reversed(runs),
+                                            list(reversed(lv))):
             if kind == "single":
-                vec = bstep(vec, rb, Dinv, sl)
+                vec = bstep(vec, rb, Dinv, sl, al)
             else:
                 xs = (rb, Dinv) if Dinv is not None else (rb,)
                 vec = jax.lax.scan(
-                    lambda c, t, sl=sl: (
-                        bstep(c, t[0], t[1] if len(t) > 1 else None, sl), 0),
+                    lambda c, t, sl=sl, al=al: (
+                        bstep(c, t[0], t[1] if len(t) > 1 else None,
+                              sl, al), 0),
                     vec, xs, reverse=True,
                 )[0]
     return vec
@@ -156,10 +161,6 @@ def _finish_solve(arrays, x, d, dtype):
 
 
 def _make_steps(arrays, Lx, n, R_L, dtype):
-    from .numeric import _arrays_aligned
-
-    aligned = _arrays_aligned(arrays)
-
     def _lsolve(D, t, transpose, inverted):
         if inverted:
             eq = "bji,bjk->bik" if transpose else "bij,bjk->bik"
@@ -168,7 +169,7 @@ def _make_steps(arrays, Lx, n, R_L, dtype):
             D, t, left_side=True, lower=True, transpose_a=transpose
         )
 
-    def fstep(y, b, Dinv, slab=False):
+    def fstep(y, b, Dinv, slab=False, aligned=False):
         w_pad = b.w_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
         D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])
@@ -184,7 +185,7 @@ def _make_steps(arrays, Lx, n, R_L, dtype):
             y = y.at[bidx].add(-u, mode="drop")
         return y
 
-    def bstep(x, b, Dinv, slab=False):
+    def bstep(x, b, Dinv, slab=False, aligned=False):
         w_pad = b.w_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
         D = Dinv if Dinv is not None else jnp.tril(P[:, :w_pad, :])

@@ -130,7 +130,7 @@ def test_smem_cap_forces_interleave(monkeypatch):
     A = poisson2d(16)
     plan = compile_plan(A, dtype=np.float32)
     _flat, meta = numeric.build_runs(plan)
-    for _kind, _spec, _utile_g, _wm, rchunks, _slab in meta:
+    for _kind, _spec, _utile_g, _wm, rchunks, *_flags in meta:
         for _nw, nrg in rchunks:
             assert nrg == 0
     Lx_s, _ = _factor_dense(plan, A, "scatter")

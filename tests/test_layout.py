@@ -35,9 +35,12 @@ def test_aligned_matches_compact_and_oracle(mk):
     pa = compile_plan(A, layout="aligned")
     ac = numeric.device_arrays(pc)
     aa = numeric.device_arrays(pa)
-    # the aligned plan must actually take the slab fast path
+    # the aligned plan must actually take the slab fast path; the compact
+    # plan may slab only the (rare) buckets whose exact-tier-fit placement
+    # already coincides with the panel layout
     assert any(m[5] for m in aa["meta"].value)
-    assert not any(m[5] for m in ac["meta"].value)
+    assert (sum(m[5] for m in aa["meta"].value)
+            >= sum(m[5] for m in ac["meta"].value))
     Lc, _ = numeric.factorize(pc, A.data, arrays=ac)
     La, _ = numeric.factorize(pa, A.data, arrays=aa)
     Ec = pc.extract_csc(np.asarray(Lc)).to_dense()
@@ -89,13 +92,69 @@ def test_aligned_solve_and_refactorize():
 
 
 def test_aligned_auto_cap(monkeypatch):
-    """layout="auto" picks aligned under the cap, compact above it."""
+    """layout="auto" picks aligned under the cap, hybrid above it."""
     A = generators.poisson2d(12)
     p1 = compile_plan(A, layout="auto")
     assert p1.layout == "aligned"
     monkeypatch.setenv("SPARSECHOL_ALIGN_CAP", "1")
     p2 = compile_plan(A, layout="auto")
-    assert p2.layout == "compact"
+    assert p2.layout == "hybrid"
+    # a 1-byte budget aligns nothing: placement is compact everywhere
+    assert np.array_equal(p2.seg_stride, p2.block_m)
+    assert np.array_equal(p2.below_off, p2.block_w)
+
+
+def test_hybrid_budget_and_equality(monkeypatch):
+    """A hybrid plan under a tight budget mixes aligned and compact
+    buckets, stays within the cap, and factors bitwise-identically to
+    both pure layouts."""
+    A = generators.fem3d(6, 3)
+    pc = compile_plan(A, layout="compact")
+    pa = compile_plan(A, layout="aligned")
+    assert pa.R_L > pc.R_L  # alignment actually costs rows here
+    # budget halfway between compact and fully aligned forces a real mix
+    cap_bytes = (pc.R_L + (pa.R_L - pc.R_L) // 2) * 128 * pc.dtype.itemsize
+    monkeypatch.setenv("SPARSECHOL_ALIGN_CAP", str(cap_bytes))
+    ph = compile_plan(A, layout="hybrid")
+    assert ph.layout == "hybrid"
+    assert pc.R_L < ph.R_L <= cap_bytes // (128 * pc.dtype.itemsize)
+    al = ph.seg_stride != ph.block_m
+    co = ~al
+    assert al.any() and co.any(), "must be a true mix"
+    ah = numeric.device_arrays(ph)
+    assert any(m[5] for m in ah["meta"].value)  # some slab steps
+    Lh, _ = numeric.factorize(ph, A.data, arrays=ah)
+    Lc, _ = numeric.factorize(pc, A.data)
+    La, _ = numeric.factorize(pa, A.data)
+    Eh = ph.extract_csc(np.asarray(Lh)).to_dense()
+    assert np.array_equal(Eh, pc.extract_csc(np.asarray(Lc)).to_dense())
+    assert np.array_equal(Eh, pa.extract_csc(np.asarray(La)).to_dense())
+    assert np.abs(Eh - _dense_chol(A)).max() < 1e-9
+
+
+def test_hybrid_solve_and_window_extend(monkeypatch):
+    A = generators.poisson2d(16)
+    pc = compile_plan(A, layout="compact")
+    pa = compile_plan(A, layout="aligned")
+    cap_bytes = (pc.R_L + (pa.R_L - pc.R_L) // 2) * 128 * pc.dtype.itemsize
+    monkeypatch.setenv("SPARSECHOL_ALIGN_CAP", str(cap_bytes))
+    ph = compile_plan(A, layout="hybrid")
+    ah = numeric.device_arrays(ph)
+    L1, d = numeric.factorize(ph, A.data, arrays=ah, extend="scatter")
+    L2, _ = numeric.factorize(ph, A.data, arrays=ah, extend="runs_xla")
+    assert np.array_equal(np.asarray(L1), np.asarray(L2))
+    x = np.asarray(_solve.solve(ph, L1, np.ones(A.n), d=d, arrays=ah))
+    assert np.linalg.norm(A.to_scipy() @ x - 1.0) < 1e-8
+
+
+def test_hybrid_instore_threshold():
+    """plan.py's hybrid eligibility mirrors numeric.DENSE_INSTORE: keep
+    the literal in compile_plan in sync with the numeric constant."""
+    import inspect
+    from sparsecholesky_tpu import plan as _plan
+
+    src = inspect.getsource(_plan.compile_plan)
+    assert f"w_pad_s < {numeric.DENSE_INSTORE}" in src
 
 
 def test_aligned_serialize_roundtrip(tmp_path):
