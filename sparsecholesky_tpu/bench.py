@@ -171,6 +171,8 @@ def run_bench(
             "n": A.n,
             "nnz_A": A.nnz,
             "nnz_L": nnzL,
+            "layout": F.plan.layout,
+            "store_bytes": F.plan.store_bytes(),
             "true_flops": flops,
             "padded_flops": F.plan.padded_flops(),
             "numeric_seconds_pipelined": best,

@@ -623,13 +623,49 @@ def unpack_run(flat, rmeta):
     return kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab, baligned
 
 
+#: single-chip HBM budget guard (bytes).  device_arrays raises a clear
+#: MemoryError before uploading a plan whose factorize working set cannot
+#: fit (the alternative is an opaque RESOURCE_EXHAUSTED mid-dispatch).
+#: Override with SPARSECHOL_HBM_CAP; 0 disables the check.  Default 15e9
+#: leaves ~1 GiB of a v5e's 16 GiB for the XLA runtime and fragmentation.
+HBM_CAP_DEFAULT = 15_000_000_000
+
+
+def _estimate_device_bytes(plan: FactorizePlan, flat) -> int:
+    """Factorize working-set estimate: store + plan maps + the bounded
+    extend-add transient (plan.C_CAP chunking) + the peak per-step panel
+    transients (assembled P, factored L, scatter temp)."""
+    maps = sum(int(a.size) * a.dtype.itemsize for a in flat.values())
+    entry = 4 * 4 * len(plan.entry_row) + 4 * 3 * plan.n
+    it = plan.dtype.itemsize
+    peak_panels = max(
+        (b.batch * b.m_pad * _nseg_pad(b.w_pad) * LANE * it
+         for lev in plan.levels for b in lev), default=0)
+    from .plan import C_CAP
+
+    return (plan.store_bytes() + maps + entry + 2 * C_CAP
+            + 3 * peak_panels)
+
+
 def device_arrays(plan: FactorizePlan):
     """Upload the plan's index maps once; reuse across factorize/solve calls.
 
     The run metadata (static) rides inside the dict as pytree aux data via
     _Static, so the whole dict remains a valid jit argument with O(1)
     leaves."""
+    import os
+
     flat, meta = build_runs(plan)
+    cap = int(os.environ.get("SPARSECHOL_HBM_CAP", HBM_CAP_DEFAULT))
+    est = _estimate_device_bytes(plan, flat)
+    if cap and est > cap:
+        raise MemoryError(
+            f"plan working set ~{est / 2**30:.1f} GiB exceeds the "
+            f"single-chip HBM budget ({cap / 2**30:.1f} GiB): partition "
+            "across chips (parallel.pstore.factorize_partitioned) or "
+            "reduce fill (ordering=); override/disable the guard with "
+            "SPARSECHOL_HBM_CAP"
+        )
     return {
         "flat": flat,
         "meta": _Static(meta),

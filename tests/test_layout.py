@@ -181,3 +181,23 @@ def test_parallel_requires_compact():
     pa = compile_plan(A, layout="aligned")
     with pytest.raises(ValueError, match="compact-layout"):
         pstore.build_layout(pa, 2)
+
+
+def test_hybrid_serialize_roundtrip(tmp_path, monkeypatch):
+    from sparsecholesky_tpu import serialize
+
+    A = generators.fem3d(6, 3)
+    pc = compile_plan(A, layout="compact")
+    pa = compile_plan(A, layout="aligned")
+    cap_bytes = (pc.R_L + (pa.R_L - pc.R_L) // 2) * 128 * pc.dtype.itemsize
+    monkeypatch.setenv("SPARSECHOL_ALIGN_CAP", str(cap_bytes))
+    ph = compile_plan(A, layout="hybrid")
+    path = str(tmp_path / "plan.npz")
+    serialize.save_plan(path, ph)
+    pb = serialize.load_plan(path)
+    assert pb.layout == "hybrid"
+    assert np.array_equal(ph.below_off, pb.below_off)
+    assert np.array_equal(ph.seg_stride, pb.seg_stride)
+    La, _ = numeric.factorize(ph, A.data)
+    Lb, _ = numeric.factorize(pb, A.data)
+    assert np.array_equal(np.asarray(La), np.asarray(Lb))

@@ -236,3 +236,19 @@ def test_pad_profile_coarse(bcsstk01):
     Ff = p_fine.extract_csc(np.asarray(Lf)).to_dense()
     Fc = p_coarse.extract_csc(np.asarray(Lc)).to_dense()
     np.testing.assert_allclose(Fc, Ff, atol=1e-9 * max(1.0, np.abs(Ff).max()))
+
+
+def test_hbm_guard(monkeypatch):
+    """device_arrays fails fast with guidance when the estimated factorize
+    working set exceeds the HBM budget (instead of an opaque
+    RESOURCE_EXHAUSTED mid-dispatch), and 0 disables the guard."""
+    from sparsecholesky_tpu import numeric
+    from sparsecholesky_tpu.plan import compile_plan
+
+    A = generators.poisson2d(12)
+    plan = compile_plan(A)
+    monkeypatch.setenv("SPARSECHOL_HBM_CAP", "1024")
+    with pytest.raises(MemoryError, match="partition across chips"):
+        numeric.device_arrays(plan)
+    monkeypatch.setenv("SPARSECHOL_HBM_CAP", "0")
+    numeric.device_arrays(plan)
