@@ -191,10 +191,10 @@ def _chunk_windows(b, utile_g, itemsize: int, T: int):
             b.batch, b.mb_pad, b.g_pad, utile_g, itemsize):
         tlen = i1 - i0
         NC = max((b1 - b0) * gt * tlen, T)  # C buffer is padded to >= T rows
-        ncs.append(NC)
         sub = (rr[(tile_of == ti) & (rr[:, 0] >= b0) & (rr[:, 0] < b1)]
                .astype(np.int64) if have else np.zeros((0, 5), np.int64))
         if not len(sub):
+            ncs.append(NC)
             wins.append((np.zeros(0, np.int64),) * 3)
             continue
         coff = ((sub[:, 0] - b0) * gt + sub[:, 1]) * tlen + (sub[:, 2] - i0)
@@ -207,8 +207,15 @@ def _chunk_windows(b, utile_g, itemsize: int, T: int):
         wc = coff[idx] + k
         wl = np.minimum(T, sub[idx, 3] - k)
         uoff = np.maximum(0, wc + T - NC)
-        if (ws < uoff).any():
-            raise AssertionError("extend-add window underflows the store")
+        # a window whose U DMA would overrun the C buffer shifts back by
+        # uoff rows (both in C and in the store); when the store row can't
+        # absorb the shift (ws < uoff: early store rows, tiny chunk), grow
+        # the C buffer instead — the apply site zero-pads Cf to NC
+        deficit = int(np.maximum(0, uoff - ws).max())
+        if deficit:
+            NC += deficit
+            uoff = np.maximum(0, wc + T - NC)
+        ncs.append(NC)
         wins.append((ws - uoff, wc - uoff, (uoff << 8) | wl))
     return wins, ncs
 
@@ -485,7 +492,11 @@ def build_runs(plan: FactorizePlan):
 
             allwins = [_chunk_windows(b, utile_g, itemsize, rtile)
                        for b in group]
-            ncl = allwins[0][1]
+            # group-max C-buffer rows per chunk (members can grow NC to
+            # absorb a store-row underflow; the shared trace pads Cf to
+            # the max, extra zero rows are read-only slack)
+            ncl = [max(w[1][ch] for w in allwins)
+                   for ch in range(len(allwins[0][1]))]
             ncs = len(ncl)
             # group-consistent per-chunk packing choice (scan bodies are
             # shared traces, so every member must take the same branch)
@@ -519,7 +530,7 @@ def build_runs(plan: FactorizePlan):
                                 and c[ch][0] < mw else 0)
                     for c in counts0
                 )
-                maxn.append((mw, mg))
+                maxn.append((mw, mg, int(ncl[ch])))
             maxn = tuple(maxn)
             rchunks = maxn
             stacked = {f: [] for f in _RUN_FIELDS}
@@ -528,7 +539,7 @@ def build_runs(plan: FactorizePlan):
                 woff = goff = 0
                 for ch in range(ncs):
                     nw, nrg = counts[ch]
-                    mw, mg = maxn[ch]
+                    mw, mg, _nc = maxn[ch]
                     segs["rstart"].append(rs[woff:woff + nw])
                     segs["rcoff"].append(rc[woff:woff + nw])
                     segs["rlen"].append(rl[woff:woff + nw])
@@ -910,12 +921,15 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
             )
             continue
         # ---- window-table paths ----------------------------------------
-        nw, nrg = rchunks[ci] if rchunks else (0, 0)
+        nw, nrg, *ncx = rchunks[ci] if rchunks else (0, 0)
         if not nw:
             continue
         Cf = C.reshape(-1, LANE)
-        if Cf.shape[0] < T:              # tiny chunk: pad to one window
-            Cf = jnp.pad(Cf, ((0, T - Cf.shape[0]), (0, 0)))
+        # pad Cf to the plan's C-buffer row count NC (>= T; grown past the
+        # true row count when a window underflow forced extra slack)
+        NC = ncx[0] if ncx else T
+        if Cf.shape[0] < NC:
+            Cf = jnp.pad(Cf, ((0, NC - Cf.shape[0]), (0, 0)))
         rs = jax.lax.slice(b.rstart, (roff,), (roff + nw,))
         rc = jax.lax.slice(b.rcoff, (roff,), (roff + nw,))
         rl = jax.lax.slice(b.rlen, (roff,), (roff + nw,))

@@ -384,7 +384,9 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
                               plan.run_tile, modes="interleave")
                 for cb in cbuckets
             ]
-            ncl = tabs[0][7]
+            # group-max C rows per chunk (a member can grow NC to absorb a
+            # store-row underflow; apply_schur_update pads Cf to this)
+            ncl = [max(t[7][ch] for t in tabs) for ch in range(len(tabs[0][7]))]
             ncs = len(ncl)
             maxn = tuple(max(t[6][ch][0] for t in tabs) for ch in range(ncs))
             names = ("rstart", "rcoff", "rlen")
@@ -414,7 +416,8 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
                 chunks[f].append(flat2)
                 spec[f] = (offs[f], out.shape[1:])
                 offs[f] += flat2.shape[1]
-            rchunks.append(tuple((n, 0) for n in maxn))
+            rchunks.append(tuple(
+                (n, 0, int(nc)) for n, nc in zip(maxn, ncl)))
         else:
             rchunks.append(())
         for f in _RUN_FIELDS:

@@ -165,13 +165,23 @@ _UPDATE_TILE = 512
 # 32-64.
 RUN_TILE = 16
 
-#: run-tile candidates (must all divide/fit STORE_TAIL_PAD)
-_RUN_TILES = (8, 16, 24, 32, 48, 64)
+#: run-tile candidates (STORE_TAIL_PAD covers REGION_BLK + max tile)
+_RUN_TILES = (8, 16, 24, 32, 48, 64, 96, 128)
 
 
 def _select_run_tile(levels) -> int:
     """Pick the extend-add window length minimizing the modeled kernel
-    time nwindows(T) * (250 + 4*T) ns over the plan's run lengths."""
+    time nwindows(T) * (250 + 4*T) ns over the plan's run lengths.
+    ``SPARSECHOL_RUN_TILE`` overrides the choice (perf experiments)."""
+    import os
+
+    env = os.environ.get("SPARSECHOL_RUN_TILE")
+    if env:
+        T = int(env)
+        if T not in _RUN_TILES:
+            raise ValueError(f"SPARSECHOL_RUN_TILE must be one of "
+                             f"{_RUN_TILES}, got {T}")
+        return T
     lens = []
     for lev in levels:
         for b in lev:

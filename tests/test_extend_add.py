@@ -131,7 +131,7 @@ def test_smem_cap_forces_interleave(monkeypatch):
     plan = compile_plan(A, dtype=np.float32)
     _flat, meta = numeric.build_runs(plan)
     for _kind, _spec, _utile_g, _wm, rchunks, *_flags in meta:
-        for _nw, nrg in rchunks:
+        for _nw, nrg, _nc in rchunks:
             assert nrg == 0
     Lx_s, _ = _factor_dense(plan, A, "scatter")
     Lx_r, _ = _factor_dense(plan, A, "runs_xla")
@@ -190,3 +190,27 @@ def test_region_packing_covers_and_is_wellformed():
                     assert (flag[1:] == adj.astype(flag.dtype)).all()
                 checked += 1
     assert checked > 0
+
+
+def test_large_run_tile_underflow_grows_c_buffer(monkeypatch):
+    """A window whose U DMA would overrun a tiny C chunk shifts back by
+    uoff; when the target store row is too small to absorb the shift
+    (early supernodes + large run tile), the chunk's C buffer must grow
+    instead (the apply site zero-pads Cf to NC) — and the factorization
+    stays correct."""
+    import sparsecholesky_tpu as sc
+
+    monkeypatch.setenv("SPARSECHOL_RUN_TILE", "96")
+    A = sc.load_matrix_market(sc.bundled_matrix("bcsstk01"))
+    plan = compile_plan(A, dtype=np.float32, pad_profile="coarse")
+    assert plan.run_tile == 96
+    _flat, meta = numeric.build_runs(plan)
+    grown = False
+    for _kind, _spec, _utile_g, _wm, rchunks, *_flags in meta:
+        for _nw, _nrg, nc in rchunks:
+            assert nc >= plan.run_tile
+            grown |= nc > plan.run_tile
+    assert grown, "expected at least one chunk to grow its C buffer"
+    Lx_s, _ = _factor_dense(plan, A, "scatter")
+    Lx_r, _ = _factor_dense(plan, A, "runs_xla")
+    assert np.allclose(Lx_s, Lx_r, rtol=2e-5, atol=2e-5)
