@@ -1276,19 +1276,83 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
 # Memoized adaptive chunk boundaries per plan: a chunk whose compiled
 # program is too large for the TPU compiler (it reports an opaque internal
 # error) is split in half recursively; the discovered safe boundaries are
-# cached so refactorizations never re-attempt a failing compile.
+# cached so refactorizations never re-attempt a failing compile.  The
+# boundaries also persist on disk (keyed by plan meta + platform) so a NEW
+# process skips the rejected-compile attempts too — each one costs minutes
+# of remote compile time on 1M-row plans.
 _CHUNK_PLANS: dict = {}
+
+
+def _chunk_disk_key(meta) -> str:
+    import hashlib
+
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend
+        plat = "none"
+    return hashlib.sha256(
+        (plat + "|" + repr(meta)).encode()
+    ).hexdigest()
+
+
+def _chunk_plan_path() -> str:
+    import os
+
+    base = os.environ.get(
+        "SPARSECHOL_CACHE", os.path.expanduser("~/.cache/sparsecholesky_tpu")
+    )
+    return os.path.join(base, "chunk_plans.json")
+
+
+def _load_chunk_plan(meta):
+    import json
+    import os
+
+    path = _chunk_plan_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            stored = json.load(f).get(_chunk_disk_key(meta))
+        return [tuple(b) for b in stored] if stored else None
+    except Exception:  # pragma: no cover - corrupt cache is not fatal
+        return None
+
+
+def _save_chunk_plan(meta, plan) -> None:
+    import json
+    import os
+
+    path = _chunk_plan_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}
+        data[_chunk_disk_key(meta)] = [list(b) for b in plan]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:  # pragma: no cover - cache write failure is not fatal
+        pass
 
 
 def _chunk_boundaries(meta) -> list:
     key = meta
     plan = _CHUNK_PLANS.get(key)
     if plan is None:
+        plan = _load_chunk_plan(meta)
+    if plan is None:
         nruns = len(meta)
         plan = []
         for lo in range(0, nruns, CHUNK_RUNS):
             plan.append((lo, min(nruns, lo + CHUNK_RUNS)))
-        _CHUNK_PLANS[key] = plan
+    _CHUNK_PLANS[key] = plan
     return plan
 
 
@@ -1298,6 +1362,7 @@ def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale,
     Lx, d = _init_jit(arrays, jnp.asarray(Ax), R_L, dtype, scale)
     pivs = []
     plan = _chunk_boundaries(meta)
+    split = False
     i = 0
     while i < len(plan):
         lo, hi = plan[i]
@@ -1314,9 +1379,12 @@ def _factorize_chunked(arrays, Ax, R_L, dtype, backend, scale,
             # compiler rejected this chunk as one program: split and retry
             mid = (lo + hi) // 2
             plan[i : i + 1] = [(lo, mid), (mid, hi)]
+            split = True
             continue
         pivs.append(mp)
         i += 1
+    if split:
+        _save_chunk_plan(meta, plan)
     minpiv = jnp.concatenate(pivs) if pivs else jnp.zeros((0,), dtype=dtype)
     return Lx, minpiv, d
 

@@ -252,3 +252,21 @@ def test_hbm_guard(monkeypatch):
         numeric.device_arrays(plan)
     monkeypatch.setenv("SPARSECHOL_HBM_CAP", "0")
     numeric.device_arrays(plan)
+
+
+def test_chunk_boundaries_persist_across_processes(monkeypatch, tmp_path):
+    """Adaptive chunk-split discoveries persist in the on-disk cache so a
+    fresh process skips compiles the TPU compiler already rejected."""
+    from sparsecholesky_tpu import numeric
+
+    monkeypatch.setenv("SPARSECHOL_CACHE", str(tmp_path))
+    meta = (("single", (("w", (0, (4,))),), (), None, (), True, True),) * 7
+    discovered = [(0, 3), (3, 5), (5, 7)]
+    numeric._save_chunk_plan(meta, discovered)
+    numeric._CHUNK_PLANS.clear()   # simulate a new process
+    assert numeric._chunk_boundaries(meta) == discovered
+    # unknown plans fall back to the uniform split
+    other = meta + meta
+    numeric._CHUNK_PLANS.clear()
+    uniform = numeric._chunk_boundaries(other)
+    assert uniform[0][0] == 0 and uniform[-1][1] == len(other)
