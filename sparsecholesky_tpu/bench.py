@@ -25,10 +25,12 @@ def _cpu_baseline_seconds(A, repeats: int = 3) -> float:
 
     Large problems run the baseline once (splu on this host is minutes at
     n ~ 10^5+); above 500k rows it is skipped entirely (returns nan)."""
+    import os
+
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
-    if A.n > 500_000:
+    if A.n > 500_000 or os.environ.get("SPARSECHOL_BENCH_SKIP_CPU"):
         return float("nan")
     if A.n > 60_000:
         repeats = 1
