@@ -20,14 +20,14 @@ def main():
     from sparsecholesky_tpu.bench import run_bench
 
     matrix = os.environ.get("SPARSECHOL_BENCH_MATRIX", "poisson3d:48")
-    result = run_bench(matrix=matrix)
-    out = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "vs_baseline": result["vs_baseline"],
-    }
-    print(json.dumps(out))
+
+    # the headline prints the moment the factorization throughput is
+    # measured — BEFORE the solve-latency extras — so a wall-clock budget
+    # expiring during the extras still yields the parsed JSON line
+    def emit(headline):
+        print(json.dumps(headline), flush=True)
+
+    result = run_bench(matrix=matrix, on_headline=emit)
     # full detail on stderr for humans
     print(json.dumps(result, indent=2), file=sys.stderr)
 

@@ -15,23 +15,49 @@ path, which does not compile here (needs C++23 std::expected; g++ 12).
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 import numpy as np
 
 
-def _cpu_baseline_seconds(A, repeats: int = 3) -> float:
+def _env_flag(name: str) -> bool:
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off"
+    )
+
+
+def _baseline_cache_path() -> str:
+    base = os.environ.get(
+        "SPARSECHOL_CACHE", os.path.expanduser("~/.cache/sparsecholesky_tpu")
+    )
+    return os.path.join(base, "cpu_baselines.json")
+
+
+def _cpu_baseline_seconds(A, matrix: str, repeats: int = 3) -> float:
     """CPU direct-factorization baseline: scipy splu numeric time.
 
-    Large problems run the baseline once (splu on this host is minutes at
-    n ~ 10^5+); above 500k rows it is skipped entirely (returns nan)."""
-    import os
-
-    import scipy.sparse as sp
+    The result is deterministic per (matrix, host), and splu on this host
+    is minutes at n ~ 10^5+, so it is DISK-CACHED (cpu_baselines.json in
+    the SPARSECHOL_CACHE dir) — computed once, reused forever.  Above 500k
+    rows it is skipped entirely (returns nan), and setting
+    ``SPARSECHOL_BENCH_SKIP_CPU`` to a truthy value (anything but
+    ''/0/false/no/off) skips it too."""
+    import scipy
     import scipy.sparse.linalg as spla
 
-    if A.n > 500_000 or os.environ.get("SPARSECHOL_BENCH_SKIP_CPU"):
+    if A.n > 500_000 or _env_flag("SPARSECHOL_BENCH_SKIP_CPU"):
         return float("nan")
+    key = f"{matrix}|n={A.n}|nnz={A.nnz}|scipy={scipy.__version__}"
+    path = _baseline_cache_path()
+    try:
+        with open(path) as f:
+            cached = json.load(f).get(key)
+        if cached is not None:
+            return float(cached)
+    except Exception:
+        pass
     if A.n > 60_000:
         repeats = 1
     M = A.to_scipy().tocsc()
@@ -40,6 +66,22 @@ def _cpu_baseline_seconds(A, repeats: int = 3) -> float:
         t0 = time.time()
         spla.splu(M, permc_spec="MMD_AT_PLUS_A")
         best = min(best, time.time() - t0)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}
+        data[key] = best
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
     return best
 
 
@@ -50,7 +92,16 @@ def run_bench(
     backend: str = "xla",
     repeats: int = 5,
     scale: bool = True,
+    on_headline=None,
 ) -> dict:
+    """Run the factorization benchmark.
+
+    ``on_headline(dict)`` (if given) is invoked with the driver headline
+    {metric, value, unit, vs_baseline} as soon as the factorization
+    throughput is measured — BEFORE the optional solve-latency extras —
+    so an enclosing wall-clock budget that expires during the extras
+    still yields the parsed perf number.
+    """
     from .cli import _load
     from .api import chol
 
@@ -125,6 +176,27 @@ def run_bench(
     nnzL = F.plan.nnz_L()
     gflops = flops / best / 1e9
 
+    # CPU baseline early (disk-cached: instant after the first-ever run on
+    # this host) so the headline is complete before the solve extras
+    cpu_s = _cpu_baseline_seconds(A, matrix)
+    vs = cpu_s / best
+    vs = round(vs, 4) if np.isfinite(vs) else None
+    vs_one = cpu_s / (t_build + best)
+    vs_one = round(vs_one, 4) if np.isfinite(vs_one) else None
+
+    metric = f"supernodal factorize GFLOP/s/chip ({matrix}, {ordering}, {dtype})"
+    if on_headline is not None:
+        on_headline({
+            "metric": metric,
+            "value": round(gflops, 4),
+            "unit": "GFLOP/s",
+            "vs_baseline": vs,
+        })
+
+    from .utils.profiling import speed_of_light
+
+    sol = speed_of_light(F.plan, best)
+
     # correctness: solve backward error
     b = np.ones(A.n)
     x = F.solve(b, refine="auto")
@@ -150,25 +222,21 @@ def run_bench(
     t_solve_dev = _time_solve(refine="device")
     t_solve_auto = _time_solve(refine="auto")
 
-    cpu_s = _cpu_baseline_seconds(A)
-    vs = cpu_s / best
-    if not np.isfinite(vs):
-        vs = 0.0  # baseline skipped (too large for this host's CPU)
-    # the honest one-shot comparison includes OUR symbolic+plan+compile
-    # side too (scipy splu cannot separate its symbolic phase; SuperLU's
-    # Fact=SamePattern numeric-only path is not exposed through scipy) —
-    # vs_baseline is steady-state refactorization (the production pattern),
-    # vs_baseline_one_shot charges us the full cold build
-    vs_one = cpu_s / (t_build + best)
-    if not np.isfinite(vs_one):
-        vs_one = 0.0
-
+    # vs_baseline is steady-state refactorization (the production pattern);
+    # vs_baseline_one_shot charges us the full cold build too (scipy splu
+    # cannot separate its symbolic phase through its Python API).  None =
+    # baseline skipped (matrix too large for this host's CPU, or
+    # SPARSECHOL_BENCH_SKIP_CPU).
     return {
-        "metric": f"supernodal factorize GFLOP/s/chip ({matrix}, {ordering}, {dtype})",
+        "metric": metric,
         "value": round(gflops, 4),
         "unit": "GFLOP/s",
-        "vs_baseline": round(vs, 4),
-        "vs_baseline_one_shot": round(vs_one, 4),
+        "vs_baseline": vs,
+        "vs_baseline_one_shot": vs_one,
+        "baseline_skipped": (None if vs is not None else
+                             "scipy splu baseline skipped: matrix too "
+                             "large for this host's CPU (n > 500k) or "
+                             "SPARSECHOL_BENCH_SKIP_CPU set"),
         "detail": {
             "n": A.n,
             "nnz_A": A.nnz,
@@ -180,6 +248,12 @@ def run_bench(
             "numeric_seconds_pipelined": best,
             "numeric_seconds_single_dispatch": single,
             "nnzL_per_s": nnzL / best,
+            # issued-flop fraction of the chip's MEASURED sustained fp32
+            # matmul rate (24 TFLOP/s on this v5e, CLAUDE.md) — the honest
+            # MFU; speed_of_light_fraction is vs the roofline model
+            "mfu_fraction": sol["gflops_padded"] / 24e3,
+            "speed_of_light_fraction": sol["speed_of_light_fraction"],
+            "roofline_bound": sol["roofline_bound"],
             "build_seconds_incl_compile": t_build,
             "solve_backward_error": be,
             "solve_seconds_raw": t_solve_raw,

@@ -279,6 +279,111 @@ def _window_table(b, utile_g, dummy_row: int, itemsize: int, T: int,
     return (*_pack_table(wins, ncs, modes, dummy_row, T), tuple(ncs))
 
 
+def pack_group_run_tables(group, utile_g, itemsize: int, rtile: int,
+                          dummy_row: int):
+    """Compile a GROUP of same-shape buckets' raw update runs into
+    group-consistent packed window(+region) tables.
+
+    Group members share one traced body — the members of a lax.scan in
+    build_runs, or the per-chip views of one dealt step in the partitioned
+    store (parallel/pstore.py) — so every member must take the same
+    per-chunk packing mode and the same padded window/region counts.
+    Short members pad with zero-length dummy windows aimed at the dead
+    store tail (``dummy_row``); region-mode pads ride one flagged pad
+    region based at ``dummy_row - (REGION_BLK - rtile)``.
+
+    Returns (stacked, rchunks): ``stacked`` maps each _RUN_FIELD to a list
+    of per-member int64 arrays (callers stack/concatenate); ``rchunks`` is
+    the static per-chunk (n_windows, n_regions, NC) tuple shared by the
+    whole group."""
+    from .plan import REGION_BLK
+
+    allwins = [_chunk_windows(b, utile_g, itemsize, rtile) for b in group]
+    # group-max C-buffer rows per chunk (members can grow NC to absorb a
+    # store-row underflow; the shared trace pads Cf to the max, extra
+    # zero rows are read-only slack)
+    ncl = [max(w[1][ch] for w in allwins)
+           for ch in range(len(allwins[0][1]))]
+    ncs = len(ncl)
+    # group-consistent per-chunk packing choice (shared trace: every
+    # member must take the same branch)
+    stride = REGION_BLK - rtile
+    modes = []
+    for ch in range(ncs):
+        per_w = [len(w[0][ch][0]) for w in allwins]
+        per_g = [len(np.unique(w[0][ch][0] // stride)) for w in allwins]
+        nw, nrg = sum(per_w), sum(per_g)
+        mode = _chunk_mode(nw, nrg, rtile) if nw else "interleave"
+        # region tables ride SMEM whole per kernel call (the padded
+        # per-member max): over budget -> interleave, which the apply
+        # site can split into multiple calls
+        if (mode == "region"
+                and max(per_w) * 8 + (max(per_g) + 2) * 12 > SMEM_CAP):
+            mode = "interleave"
+        modes.append(mode)
+    tabs = [_pack_table(wins, ncl, modes, dummy_row, rtile)
+            for wins, _nc in allwins]
+    counts0 = [t[6] for t in tabs]
+    # region-mode members with fewer windows than the group max append
+    # one flagged pad region (below) — the padded region count must
+    # cover it, or the stacked shapes diverge
+    maxn = []
+    for ch in range(ncs):
+        mw = max(c[ch][0] for c in counts0)
+        mg = max(
+            c[ch][1] + (1 if modes[ch] == "region" and c[ch][0] < mw
+                        else 0)
+            for c in counts0
+        )
+        maxn.append((mw, mg, int(ncl[ch])))
+    maxn = tuple(maxn)
+    stacked = {f: [] for f in _RUN_FIELDS}
+    for rs, rc, rl, rg, rn, rw, counts in tabs:
+        segs = {f: [] for f in _RUN_FIELDS}
+        woff = goff = 0
+        for ch in range(ncs):
+            nw, nrg = counts[ch]
+            mw, mg, _nc = maxn[ch]
+            segs["rstart"].append(rs[woff:woff + nw])
+            segs["rcoff"].append(rc[woff:woff + nw])
+            segs["rlen"].append(rl[woff:woff + nw])
+            padw = mw - nw
+            if padw:
+                segs["rstart"].append(np.full(padw, dummy_row, np.int64))
+                segs["rcoff"].append(
+                    np.full(padw, ncl[ch] - rtile, np.int64))
+                # region-mode pads live in a pad region based at
+                # dummy_row - stride, so their in-region offset (rlen
+                # bits 16+) is stride; vlen stays 0
+                segs["rlen"].append(
+                    np.full(padw, stride << 16, np.int64)
+                    if modes[ch] == "region"
+                    else np.zeros(padw, np.int64))
+            segs["rgrow"].append(rg[goff:goff + nrg])
+            segs["rgnf"].append(rn[goff:goff + nrg])
+            segs["rgwoff"].append(rw[goff:goff + nrg])
+            padg = mg - nrg
+            padrow = dummy_row - stride
+            if padw and modes[ch] == "region":
+                # attach this member's dummy windows to a pad region in
+                # the dead tail (flagged: serialize behind the previous
+                # region's write-back)
+                segs["rgrow"].append(np.asarray([padrow], np.int64))
+                segs["rgnf"].append(np.asarray([padw * 2 + 1], np.int64))
+                segs["rgwoff"].append(np.asarray([nw], np.int64))
+                padg -= 1
+            if padg > 0:
+                segs["rgrow"].append(np.full(padg, padrow, np.int64))
+                segs["rgnf"].append(np.zeros(padg, np.int64))
+                segs["rgwoff"].append(np.full(padg, mw, np.int64))
+            woff += nw
+            goff += nrg
+        for f in _RUN_FIELDS:
+            stacked[f].append(np.concatenate(segs[f])
+                              if segs[f] else np.zeros(0, np.int64))
+    return stacked, maxn
+
+
 def _hazard_schedule(ws, wc, wl, dummy_row, dummy_coff, T, nbuf=RUN_NBUF):
     """Order windows so that any two whose [s, s+T) store-row intervals
     overlap sit >= nbuf apart in the sequence: the extend-add kernel keeps
@@ -488,99 +593,8 @@ def build_runs(plan: FactorizePlan):
         # utile_g, so they compile here, not in the plan) ------------------
         rchunks: tuple = ()
         if group[0].mb_pad:
-            from .plan import REGION_BLK
-
-            allwins = [_chunk_windows(b, utile_g, itemsize, rtile)
-                       for b in group]
-            # group-max C-buffer rows per chunk (members can grow NC to
-            # absorb a store-row underflow; the shared trace pads Cf to
-            # the max, extra zero rows are read-only slack)
-            ncl = [max(w[1][ch] for w in allwins)
-                   for ch in range(len(allwins[0][1]))]
-            ncs = len(ncl)
-            # group-consistent per-chunk packing choice (scan bodies are
-            # shared traces, so every member must take the same branch)
-            stride = REGION_BLK - rtile
-            modes = []
-            for ch in range(ncs):
-                per_w = [len(w[0][ch][0]) for w in allwins]
-                per_g = [len(np.unique(w[0][ch][0] // stride))
-                         for w in allwins]
-                nw, nrg = sum(per_w), sum(per_g)
-                mode = _chunk_mode(nw, nrg, rtile) if nw else "interleave"
-                # region tables ride SMEM whole per kernel call (the
-                # padded per-member max): over budget -> interleave,
-                # which the apply site can split into multiple calls
-                if (mode == "region"
-                        and max(per_w) * 8 + (max(per_g) + 2) * 12
-                        > SMEM_CAP):
-                    mode = "interleave"
-                modes.append(mode)
-            tabs = [_pack_table(wins, ncl, modes, dummy_row, rtile)
-                    for wins, _nc in allwins]
-            counts0 = [t[6] for t in tabs]
-            # region-mode members with fewer windows than the group max
-            # append one flagged pad region (below) — the padded region
-            # count must cover it, or the scan stack shapes diverge
-            maxn = []
-            for ch in range(ncs):
-                mw = max(c[ch][0] for c in counts0)
-                mg = max(
-                    c[ch][1] + (1 if modes[ch] == "region"
-                                and c[ch][0] < mw else 0)
-                    for c in counts0
-                )
-                maxn.append((mw, mg, int(ncl[ch])))
-            maxn = tuple(maxn)
-            rchunks = maxn
-            stacked = {f: [] for f in _RUN_FIELDS}
-            for rs, rc, rl, rg, rn, rw, counts in tabs:
-                segs = {f: [] for f in _RUN_FIELDS}
-                woff = goff = 0
-                for ch in range(ncs):
-                    nw, nrg = counts[ch]
-                    mw, mg, _nc = maxn[ch]
-                    segs["rstart"].append(rs[woff:woff + nw])
-                    segs["rcoff"].append(rc[woff:woff + nw])
-                    segs["rlen"].append(rl[woff:woff + nw])
-                    padw = mw - nw
-                    if padw:
-                        segs["rstart"].append(
-                            np.full(padw, dummy_row, np.int64))
-                        segs["rcoff"].append(
-                            np.full(padw, ncl[ch] - rtile, np.int64))
-                        # region-mode pads live in a pad region based at
-                        # dummy_row - stride, so their in-region offset
-                        # (rlen bits 16+) is stride; vlen stays 0
-                        segs["rlen"].append(
-                            np.full(padw, stride << 16, np.int64)
-                            if modes[ch] == "region"
-                            else np.zeros(padw, np.int64))
-                    segs["rgrow"].append(rg[goff:goff + nrg])
-                    segs["rgnf"].append(rn[goff:goff + nrg])
-                    segs["rgwoff"].append(rw[goff:goff + nrg])
-                    padg = mg - nrg
-                    padrow = dummy_row - (REGION_BLK - rtile)
-                    if padw and modes[ch] == "region":
-                        # attach this member's dummy windows to a pad
-                        # region in the dead tail (flagged: serialize
-                        # behind the previous region's write-back)
-                        segs["rgrow"].append(
-                            np.asarray([padrow], np.int64))
-                        segs["rgnf"].append(
-                            np.asarray([padw * 2 + 1], np.int64))
-                        segs["rgwoff"].append(np.asarray([nw], np.int64))
-                        padg -= 1
-                    if padg > 0:
-                        segs["rgrow"].append(
-                            np.full(padg, padrow, np.int64))
-                        segs["rgnf"].append(np.zeros(padg, np.int64))
-                        segs["rgwoff"].append(np.full(padg, mw, np.int64))
-                    woff += nw
-                    goff += nrg
-                for f in _RUN_FIELDS:
-                    stacked[f].append(np.concatenate(segs[f])
-                                      if segs[f] else np.zeros(0, np.int64))
+            stacked, rchunks = pack_group_run_tables(
+                group, utile_g, itemsize, rtile, dummy_row)
             for f in _RUN_FIELDS:
                 arr = (np.stack(stacked[f], axis=0) if kind == "scan"
                        else stacked[f][0])
