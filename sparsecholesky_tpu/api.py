@@ -69,14 +69,15 @@ class CholeskyFactor:
 
     def _device_ell(self):
         """Lazy padded-ELL upload of A for on-device refinement; False when
-        ineligible (no A, over the ELL budget, or a chunked-solve plan)."""
+        ineligible (no A, or over the ELL budget).  Chunked plans are
+        eligible: refine.device_refined_solve runs their refinement loop as
+        async chunked dispatches with no host round-trips."""
         if self._ell is None:
             from . import refine as _refine
 
             eligible = (
                 self.A is not None
                 and np.dtype(self.plan.dtype) == np.float32
-                and len(self.arrays["meta"].value) <= _numeric.CHUNK_RUNS
             )
             self._ell = (_refine.build_ell(self.A) if eligible else None) \
                 or False

@@ -29,10 +29,9 @@ def _env_flag(name: str) -> bool:
 
 
 def _baseline_cache_path() -> str:
-    base = os.environ.get(
-        "SPARSECHOL_CACHE", os.path.expanduser("~/.cache/sparsecholesky_tpu")
-    )
-    return os.path.join(base, "cpu_baselines.json")
+    from .utils.cache import cache_root
+
+    return os.path.join(cache_root(), "cpu_baselines.json")
 
 
 def _cpu_baseline_seconds(A, matrix: str, repeats: int = 3) -> float:

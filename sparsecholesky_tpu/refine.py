@@ -121,18 +121,51 @@ def _device_refine_jit(arrays, Lx, ell, bh, bl, d, linv, n, R_L, dtype,
         return jax.lax.fori_loop(0, steps + 1, body, (z, z))
 
 
+@jax.jit
+def _residual_rhs_jit(ell, bh, bl, xh, xl):
+    """fp32 collapse of the double-float residual (the next correction's
+    right-hand side), one device dispatch."""
+    rh, rl = _residual_df(ell, bh, bl, xh, xl)
+    return rh + rl
+
+
+@jax.jit
+def _df_accum_jit(xh, xl, dx):
+    return df_add(xh, xl, dx, jnp.zeros_like(dx))
+
+
 def device_refined_solve(plan, Lx, ell, rhs, *, d, arrays, linv=None,
                          steps: int = 3):
-    """Run solve + ``steps`` refinement iterations in ONE device dispatch.
-    ``rhs`` is a host fp64 vector (or [n, k] multi-RHS block) in original
-    index order.  Returns a host fp64 solution accurate to the
-    double-float residual floor.  Caller guarantees the plan is
-    single-jit sized (numeric.CHUNK_RUNS)."""
+    """Run solve + ``steps`` double-float refinement iterations with zero
+    host round-trips before the final readback.  ``rhs`` is a host fp64
+    vector (or [n, k] multi-RHS block) in original index order; returns a
+    host fp64 solution accurate to the double-float residual floor.
+
+    Single-jit plans (<= numeric.CHUNK_RUNS runs) fuse everything into ONE
+    dispatch (_device_refine_jit).  Chunked plans run the same iteration
+    as a Python loop of ASYNC device dispatches (residual -> chunked
+    sweeps -> accumulate): values never return to the host between steps,
+    so the cost over the fused form is per-dispatch overhead only — this
+    is what makes refine="device" available on exactly the large matrices
+    that compile chunked (VERDICT r2 item 6)."""
+    from .numeric import CHUNK_RUNS
+
     rhs = np.asarray(rhs, np.float64)
-    bh = rhs.astype(np.float32)
-    bl = (rhs - bh.astype(np.float64)).astype(np.float32)
-    xh, xl = _device_refine_jit(
-        arrays, Lx, ell, jnp.asarray(bh), jnp.asarray(bl), d, linv,
-        plan.n, plan.R_L, jnp.dtype(plan.dtype), steps,
-    )
+    bh_h = rhs.astype(np.float32)
+    bl_h = (rhs - bh_h.astype(np.float64)).astype(np.float32)
+    bh, bl = jnp.asarray(bh_h), jnp.asarray(bl_h)
+    if len(arrays["meta"].value) <= CHUNK_RUNS:
+        xh, xl = _device_refine_jit(
+            arrays, Lx, ell, bh, bl, d, linv,
+            plan.n, plan.R_L, jnp.dtype(plan.dtype), steps,
+        )
+    else:
+        from . import solve as _solve
+
+        z = jnp.zeros_like(bh)
+        xh, xl = z, z
+        for _ in range(steps + 1):
+            r = _residual_rhs_jit(ell, bh, bl, xh, xl)
+            dx = _solve.solve(plan, Lx, r, d=d, arrays=arrays, linv=linv)
+            xh, xl = _df_accum_jit(xh, xl, dx)
     return np.asarray(xh, np.float64) + np.asarray(xl, np.float64)

@@ -189,6 +189,21 @@ def test_device_refined_solve(bus1138):
     assert be_auto < 5e-15
 
 
+def test_device_refined_solve_chunked(bus1138, monkeypatch):
+    """refine="device" on a CHUNKED plan (VERDICT r2 item 6): the
+    refinement loop runs as async chunked dispatches and must reach the
+    same double-float floor as the fused single-jit form."""
+    from sparsecholesky_tpu import numeric
+
+    monkeypatch.setattr(numeric, "CHUNK_RUNS", 3)
+    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    assert len(F.arrays["meta"].value) > 3  # really chunked
+    Asp = bus1138.to_scipy()
+    b = np.linspace(1, 2, bus1138.n)
+    be_dev = _backward_error(Asp, F.solve(b, refine="device"), b)
+    assert be_dev < 1e-11
+
+
 def test_device_refined_multirhs(bus1138):
     F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
     Asp = bus1138.to_scipy()
