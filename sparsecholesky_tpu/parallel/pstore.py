@@ -667,6 +667,15 @@ def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
         L21s = jax.lax.linalg.triangular_solve(
             Lkk, rest, left_side=False, lower=True, transpose_a=True
         )
+        # mask the solve's dead lanes too: rest's dead lanes are zero in
+        # the store, but the solve back-substitutes through Lkk's junk
+        # dead columns (the B1*L22^-T / chol(I - X X^T) block of a
+        # last-segment window that overlaps below rows), producing
+        # nonzero garbage there; written back unmasked it violates the
+        # dead-lanes-stay-zero store invariant and leaks into the partial
+        # Schur update (bug found on irregular3d(18): a wide supernode
+        # with mb > 0 and w % 128 != 0)
+        L21s = jnp.where(cc < wk, L21s, 0.0)
         Lkk_m = jnp.where(cc < wk, Lkk, 0.0)              # zero dead lanes
         return jnp.concatenate(
             [jnp.zeros((k * LANE, LANE), dtype), Lkk_m, L21s], axis=0

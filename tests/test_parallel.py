@@ -242,6 +242,20 @@ def test_wide_all_top_distributed(mesh8):
     _check_wide(A, mesh8, wide_nseg=1, perm=nd_grid((16, 16)))
 
 
+def test_wide_below_rows_dead_lane_mask(mesh8):
+    # regression (found on irregular3d(18)): a distributed wide supernode
+    # with BELOW rows (mb > 0) and a non-lane-multiple width — the last
+    # 128-row window's triangular solve back-substitutes through Lkk's
+    # junk dead columns and must be column-masked, or garbage lands in
+    # the store's dead lanes and leaks into the partial Schur update.
+    # wide_nseg=1 on 3D ND makes mid-level separators (w % 128 != 0,
+    # m > 128) distribute.
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson3d(12)
+    _check_wide(A, mesh8, wide_nseg=1, perm=nd_grid((12, 12, 12)))
+
+
 def test_wide_runs_extend(mesh8):
     from sparsecholesky_tpu.ordering import nd_grid
 
