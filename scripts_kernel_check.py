@@ -31,6 +31,18 @@ def main():
                                 grid_shape=grid)
         P = compile_plan(A, perm=perm, dtype=np.float32)
         arrays = N.device_arrays(P)
+        # report the packing-mode mix the planner chose (gblock/region/
+        # interleave), so this check visibly covers each deployed kernel
+        mix = {"gblock": 0, "region": 0, "interleave": 0}
+        for rmeta in arrays["meta"].value:
+            for entry in rmeta[4]:
+                if not entry[0]:
+                    continue
+                nb = entry[3] if len(entry) > 3 else 0
+                nrg = entry[1]
+                mix["gblock" if nb else "region" if nrg
+                    else "interleave"] += 1
+        print(f"{m}: chunk modes {mix}", flush=True)
         Ax = jnp.asarray(A.data)
         outs = {}
         for ext in ("runs_xla", "runs_pallas"):

@@ -173,14 +173,79 @@ def _chunk_mode(nw: int, nrg: int, T: int) -> str:
     return "region" if reg < win else "interleave"
 
 
-def _chunk_windows(b, utile_g, itemsize: int, T: int):
+# gblock cost model (v5e, scripts_vmemwin_bench.py round 3): per-window
+# VMEM masked subtract with the manual 2x unroll, per-C-block DMA issue,
+# and the C-block payload at ~HBM bandwidth (0.64 ns per 512 B row).
+_GBLOCK_WIN_NS = 50
+_GBLOCK_BLK_NS = 170
+_GBLOCK_ROW_NS = 0.64
+
+#: candidate C-block row counts (static DMA sizes; the planner picks the
+#: cheapest per chunk).  VMEM cost is NCB * CBLK * 512 B.
+_GBLOCK_CBLKS = (128, 256, 512)
+
+#: candidate gblock store-region row counts (static; double-buffered)
+_GBLOCK_RBS = (256, 512, 1024)
+
+
+def _anchored_regions(ws_sorted, T: int, rb: int, row_cap: int):
+    """Greedy base-anchored region ids over ws-sorted windows: a new
+    region opens when a window's rows leave [anchor, anchor + rb);
+    anchors clamp to ``row_cap - rb`` so the rb-row DMA stays inside the
+    store.  Regions use every row they read far better than fixed tiles
+    (a 1-window tile pays rb rows for T useful).  Returns (rid per
+    window, anchor per region)."""
+    assert rb >= 2 * T, (rb, T)
+    n = len(ws_sorted)
+    rid = np.empty(n, np.int64)
+    anchors = []
+    i = 0
+    while i < n:
+        a = min(int(ws_sorted[i]), row_cap - rb)
+        j = np.searchsorted(ws_sorted, a + (rb - T), side="right")
+        rid[i:j] = len(anchors)
+        anchors.append(a)
+        i = j
+    return rid, np.asarray(anchors, np.int64)
+
+
+def _gblock_stats(ws, wc, gd, T: int, cblk: int, rb: int, row_cap: int):
+    """(n_regions, n_blocks) a gblock packing of these windows would
+    produce (cheap, no actual packing)."""
+    if not len(ws):
+        return 0, 0
+    o0 = np.argsort(ws, kind="stable")
+    rid0, anchors = _anchored_regions(ws[o0], T, rb, row_cap)
+    rgid = np.empty(len(ws), np.int64)
+    rgid[o0] = rid0
+    order = np.lexsort((wc, gd, rgid))
+    rg, gg, cc = rgid[order], gd[order], wc[order]
+    newst = np.ones(len(rg), bool)
+    newst[1:] = (np.diff(rg) != 0) | (np.diff(gg) != 0)
+    stmin = np.minimum.reduceat(cc, np.flatnonzero(newst))
+    sid = np.cumsum(newst) - 1
+    sub = (cc - stmin[sid]) // (cblk - T)
+    newb = newst.copy()
+    newb[1:] |= np.diff(sub) != 0
+    return len(anchors), int(np.count_nonzero(newb))
+
+
+def _gblock_cost(nw: int, nrg: int, nb: int, cblk: int, rb: int) -> float:
+    return (nrg * (300 + 2 * _GBLOCK_ROW_NS * rb)
+            + nb * (_GBLOCK_BLK_NS + _GBLOCK_ROW_NS * cblk)
+            + nw * _GBLOCK_WIN_NS)
+
+
+def _chunk_windows(b, utile_g, itemsize: int, T: int, with_gid=False):
     """Raw (unordered) RMW windows of one bucket, per update chunk.
 
-    Returns (list of (ws, wc, wl) per chunk, list of NC per chunk).
+    Returns (list of (ws, wc, wl[, gid]) per chunk, list of NC per chunk).
     rlen packs (uoff << 8) | valid_length: windows whose T-row U-tile DMA
     would overrun the chunk's C buffer are shifted back by uoff rows (both
     in C and in the store) and their valid rows sit at offset uoff inside
-    the window."""
+    the window.  ``with_gid`` appends each window's owner-group index
+    (its C-row block of ``tlen`` rows) — gblock packing groups windows by
+    it so one C-block DMA serves a whole owner group."""
     from .plan import update_chunks, _UPDATE_TILE
 
     rr = b.runs_raw
@@ -195,7 +260,7 @@ def _chunk_windows(b, utile_g, itemsize: int, T: int):
                .astype(np.int64) if have else np.zeros((0, 5), np.int64))
         if not len(sub):
             ncs.append(NC)
-            wins.append((np.zeros(0, np.int64),) * 3)
+            wins.append((np.zeros(0, np.int64),) * (4 if with_gid else 3))
             continue
         coff = ((sub[:, 0] - b0) * gt + sub[:, 1]) * tlen + (sub[:, 2] - i0)
         # chunk each run into T-row windows
@@ -206,6 +271,7 @@ def _chunk_windows(b, utile_g, itemsize: int, T: int):
         ws = sub[idx, 4] + k
         wc = coff[idx] + k
         wl = np.minimum(T, sub[idx, 3] - k)
+        gid = wc // tlen
         uoff = np.maximum(0, wc + T - NC)
         # a window whose U DMA would overrun the C buffer shifts back by
         # uoff rows (both in C and in the store); when the store row can't
@@ -216,11 +282,14 @@ def _chunk_windows(b, utile_g, itemsize: int, T: int):
             NC += deficit
             uoff = np.maximum(0, wc + T - NC)
         ncs.append(NC)
-        wins.append((ws - uoff, wc - uoff, (uoff << 8) | wl))
+        out = (ws - uoff, wc - uoff, (uoff << 8) | wl)
+        wins.append(out + (gid,) if with_gid else out)
     return wins, ncs
 
 
-def _pack_windows(ws, wc, wl, NC, mode: str, dummy_row: int, T: int):
+def _pack_windows(ws, wc, wl, NC, mode: str, dummy_row: int, T: int,
+                  gid=None, cblk: int = 0, rb: int = 0,
+                  row_cap: int = 0):
     """Order one chunk's windows for execution.
 
     "interleave": hazard-scheduled for the pipelined window kernel
@@ -232,40 +301,113 @@ def _pack_windows(ws, wc, wl, NC, mode: str, dummy_row: int, T: int):
     region into bits 16+ (the kernel's whole per-window scalar state is
     then (wc, wl) — 8 B of SMEM); ws keeps the absolute store row for
     the runs_xla reference path.
+    "gblock": greedy base-ANCHORED ``rb``-row store regions
+    (_anchored_regions — better payload utilization than fixed tiles),
+    windows sorted (region, owner group, C sub-block, store row) and
+    partitioned into C *blocks* of <= ``cblk`` contiguous C rows
+    (requires ``gid``): rgrow/rgnf/rgwoff carry the per-region entries
+    FIRST, then one entry per block (rgrow=C base row, rgnf=window
+    count, rgwoff=first window index); rgnf's region entries count
+    BLOCKS (<<1, overlap flag in bit 0 — anchored regions may overlap
+    their predecessor by any amount, safety is transitive through the
+    flag chain).  The caller must pad the chunk's C buffer to
+    >= max(bc) + cblk rows; ``row_cap`` is the store row count (region
+    DMAs clamp to it).
 
-    Returns (ws, wc, wl, rgrow, rgnf, rgwoff)."""
+    Returns (ws, wc, wl, rgrow, rgnf, rgwoff[, nrg]) — nrg (the region
+    count, distinguishing region rows from block entries) only for
+    "gblock"."""
     z = np.zeros(0, np.int64)
-    if mode != "region":
+    if mode == "interleave" or (mode != "region" and mode != "gblock"):
         ws, wc, wl = _hazard_schedule(ws, wc, wl, dummy_row, NC - T, T)
         return ws, wc, wl, z, z, z
     from .plan import REGION_BLK
 
-    order = np.argsort(ws, kind="stable")
-    ws, wc, wl = ws[order], wc[order], wl[order]
     stride = REGION_BLK - T
-    rgid = ws // stride
-    change = np.flatnonzero(np.diff(rgid)) + 1
-    starts = np.concatenate([[0], change]).astype(np.int64)
-    rgrow = rgid[starts] * stride
-    rgn = np.diff(np.concatenate([starts, [len(ws)]]))
+    if mode == "region":
+        order = np.argsort(ws, kind="stable")
+        ws, wc, wl = ws[order], wc[order], wl[order]
+        rgid = ws // stride
+        change = np.flatnonzero(np.diff(rgid)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        rgrow = rgid[starts] * stride
+        rgn = np.diff(np.concatenate([starts, [len(ws)]]))
+        flag = np.concatenate(
+            [[0], (np.diff(rgid[starts]) == 1).astype(np.int64)]
+        )
+        return (ws, wc, wl | ((ws - rgid * stride) << 16),
+                rgrow, rgn * 2 + flag, starts)
+
+    # ---- gblock ---------------------------------------------------------
+    if not len(ws):
+        return ws, wc, wl, z, z, z, 0
+    o0 = np.argsort(ws, kind="stable")
+    rid0, anchors = _anchored_regions(ws[o0], T, rb, row_cap)
+    rgid = np.empty(len(ws), np.int64)
+    rgid[o0] = rid0
+    # C sub-block of each window: bins of (cblk - T) rows above its
+    # (region, group) stretch's min C row — order-independent, so the
+    # final (region, group, sub, row) sort keeps blocks consecutive
+    o1 = np.lexsort((wc, gid, rgid))
+    newst = np.ones(len(ws), bool)
+    newst[1:] = (np.diff(rgid[o1]) != 0) | (np.diff(gid[o1]) != 0)
+    stmin = np.minimum.reduceat(wc[o1], np.flatnonzero(newst))
+    sub = np.empty(len(ws), np.int64)
+    sub[o1] = (wc[o1] - stmin[np.cumsum(newst) - 1]) // (cblk - T)
+    order = np.lexsort((ws, sub, gid, rgid))
+    ws, wc, wl, gid, sub, rgid = (a[order] for a in
+                                  (ws, wc, wl, gid, sub, rgid))
+    newb = np.ones(len(ws), bool)
+    newb[1:] = ((np.diff(rgid) != 0) | (np.diff(gid) != 0)
+                | (np.diff(sub) != 0))
+    bstart = np.flatnonzero(newb).astype(np.int64)
+    bc = np.minimum.reduceat(wc, bstart)
+    bnw = np.diff(np.concatenate([bstart, [len(ws)]]))
+    # regions over the block sequence
+    brg = rgid[bstart]
+    newr = np.ones(len(bstart), bool)
+    newr[1:] = np.diff(brg) != 0
+    rstarts = np.flatnonzero(newr).astype(np.int64)
+    rgrow = anchors[brg[rstarts]]
+    rgnb = np.diff(np.concatenate([rstarts, [len(bstart)]]))
     flag = np.concatenate(
-        [[0], (np.diff(rgid[starts]) == 1).astype(np.int64)]
+        [[0], (np.diff(rgrow) < rb).astype(np.int64)]
     )
-    return (ws, wc, wl | ((ws - rgid * stride) << 16),
-            rgrow, rgn * 2 + flag, starts)
+    nrg = len(rgrow)
+    assert nrg == len(anchors)
+    return (ws, wc, wl | ((ws - anchors[rgid]) << 16),
+            np.concatenate([rgrow, bc]),
+            np.concatenate([rgnb * 2 + flag, bnw]),
+            np.concatenate([rstarts, bstart]),
+            nrg)
 
 
 def _pack_table(wins, ncs, modes, dummy_row: int, T: int):
-    """Pack one bucket's per-chunk windows with the given per-chunk modes.
-    Returns (rstart, rcoff, rlen, rgrow, rgnf, rgwoff, (nw, nrg) counts)."""
+    """Pack one bucket's per-chunk windows with the given per-chunk modes
+    (a mode is "interleave", "region", or ("gblock", cblk)).
+    Returns (rstart, rcoff, rlen, rgrow, rgnf, rgwoff,
+    (nw, nrg, nb) counts)."""
     outs = [[] for _ in range(6)]
     counts = []
-    for ci, (ws, wc, wl) in enumerate(wins):
+    for ci, win in enumerate(wins):
+        ws, wc, wl = win[:3]
+        gid = win[3] if len(win) > 3 else None
         mode = modes[ci] if not isinstance(modes, str) else modes
-        packed = _pack_windows(ws, wc, wl, ncs[ci], mode, dummy_row, T)
+        cblk = rb = 0
+        if isinstance(mode, tuple):
+            mode, cblk, rb = mode
+        packed = _pack_windows(ws, wc, wl, ncs[ci], mode, dummy_row, T,
+                               gid=gid, cblk=cblk, rb=rb,
+                               row_cap=dummy_row + T)
+        if mode == "gblock":
+            nrg = packed[6]
+            packed = packed[:6]
+            nb = len(packed[3]) - nrg
+        else:
+            nrg, nb = len(packed[3]), 0
         for o, p in zip(outs, packed):
             o.append(p)
-        counts.append((len(packed[0]), len(packed[3])))
+        counts.append((len(packed[0]), nrg, nb))
     cat = lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int64)
     return (*[cat(o) for o in outs], tuple(counts))
 
@@ -294,11 +436,13 @@ def pack_group_run_tables(group, utile_g, itemsize: int, rtile: int,
 
     Returns (stacked, rchunks): ``stacked`` maps each _RUN_FIELD to a list
     of per-member int64 arrays (callers stack/concatenate); ``rchunks`` is
-    the static per-chunk (n_windows, n_regions, NC) tuple shared by the
-    whole group."""
+    the static per-chunk (n_windows, n_regions, NC, n_blocks, cblk) tuple
+    shared by the whole group (n_blocks/cblk nonzero only for gblock
+    chunks)."""
     from .plan import REGION_BLK
 
-    allwins = [_chunk_windows(b, utile_g, itemsize, rtile) for b in group]
+    allwins = [_chunk_windows(b, utile_g, itemsize, rtile, with_gid=True)
+               for b in group]
     # group-max C-buffer rows per chunk (members can grow NC to absorb a
     # store-row underflow; the shared trace pads Cf to the max, extra
     # zero rows are read-only slack)
@@ -306,44 +450,92 @@ def pack_group_run_tables(group, utile_g, itemsize: int, rtile: int,
            for ch in range(len(allwins[0][1]))]
     ncs = len(ncl)
     # group-consistent per-chunk packing choice (shared trace: every
-    # member must take the same branch)
+    # member must take the same branch).  Three candidates, modeled
+    # (CLAUDE.md measured constants): the pipelined window kernel, the
+    # region kernel, and the gblock kernel at each candidate C-block size.
     stride = REGION_BLK - rtile
     modes = []
     for ch in range(ncs):
         per_w = [len(w[0][ch][0]) for w in allwins]
         per_g = [len(np.unique(w[0][ch][0] // stride)) for w in allwins]
         nw, nrg = sum(per_w), sum(per_g)
-        mode = _chunk_mode(nw, nrg, rtile) if nw else "interleave"
-        # region tables ride SMEM whole per kernel call (the padded
-        # per-member max): over budget -> interleave, which the apply
-        # site can split into multiple calls
-        if (mode == "region"
-                and max(per_w) * 8 + (max(per_g) + 2) * 12 > SMEM_CAP):
-            mode = "interleave"
-        modes.append(mode)
+        if not nw:
+            modes.append("interleave")
+            continue
+        best = ("interleave", nw * _WIN_NS(rtile))
+        if nw * 8 + (max(per_g) + 2) * 12 <= SMEM_CAP:
+            # region tables ride SMEM whole per kernel call (the padded
+            # per-member max); over budget the window path splits calls
+            reg = nrg * _REGION_NS + nw * _REGION_WIN_NS
+            if reg < best[1]:
+                best = ("region", reg)
+        row_cap = dummy_row + rtile
+        for rbc in _GBLOCK_RBS:
+            astats = [_gblock_stats(w[0][ch][0], w[0][ch][1], w[0][ch][3],
+                                    rtile, _GBLOCK_CBLKS[0], rbc, row_cap)
+                      for w in allwins]
+            nrg_a = sum(a[0] for a in astats)
+            for cblk in _GBLOCK_CBLKS:
+                if cblk == _GBLOCK_CBLKS[0]:
+                    stats = astats
+                else:
+                    stats = [_gblock_stats(
+                        w[0][ch][0], w[0][ch][1], w[0][ch][3],
+                        rtile, cblk, rbc, row_cap) for w in allwins]
+                nb = sum(t[1] for t in stats)
+                cost = _gblock_cost(nw, nrg_a, nb, cblk, rbc)
+                smem = (max(per_w) * 8
+                        + (max(t[0] for t in stats)
+                           + max(t[1] for t in stats) + 4) * 12)
+                if cost < best[1] and smem <= SMEM_CAP:
+                    best = (("gblock", cblk, rbc), cost)
+        modes.append(best[0])
+    # gblock chunks read C in fixed CBLK-row DMAs based at <= NC - rtile:
+    # grow the shared C buffer so every read stays in bounds
+    for ch in range(ncs):
+        if isinstance(modes[ch], tuple):
+            ncl[ch] += modes[ch][1] - rtile
     tabs = [_pack_table(wins, ncl, modes, dummy_row, rtile)
             for wins, _nc in allwins]
     counts0 = [t[6] for t in tabs]
-    # region-mode members with fewer windows than the group max append
-    # one flagged pad region (below) — the padded region count must
-    # cover it, or the stacked shapes diverge
+    # members with fewer windows than the group max append one flagged
+    # pad region (below) — the padded region count must cover it, or the
+    # stacked shapes diverge; gblock pads also carry one pad BLOCK
     maxn = []
     for ch in range(ncs):
+        gblock = isinstance(modes[ch], tuple)
+        padded = modes[ch] == "region" or gblock
         mw = max(c[ch][0] for c in counts0)
+        # a member short on windows needs >= 1 pad block for its dummies
+        mb = max(
+            c[ch][2] + (1 if gblock and c[ch][0] < mw else 0)
+            for c in counts0
+        )
+        # a member short on windows OR blocks needs one pad region to
+        # count its pad blocks (the kernel walks blocks via the per-
+        # region counts — an uncounted block's prefetch is never waited)
         mg = max(
-            c[ch][1] + (1 if modes[ch] == "region" and c[ch][0] < mw
+            c[ch][1] + (1 if padded and (c[ch][0] < mw
+                                         or (gblock and c[ch][2] < mb))
                         else 0)
             for c in counts0
         )
-        maxn.append((mw, mg, int(ncl[ch])))
+        maxn.append((mw, mg, int(ncl[ch]), mb,
+                     modes[ch][1] if gblock else 0,
+                     modes[ch][2] if gblock else 0))
     maxn = tuple(maxn)
     stacked = {f: [] for f in _RUN_FIELDS}
     for rs, rc, rl, rg, rn, rw, counts in tabs:
         segs = {f: [] for f in _RUN_FIELDS}
         woff = goff = 0
         for ch in range(ncs):
-            nw, nrg = counts[ch]
-            mw, mg, _nc = maxn[ch]
+            nw, nrg, nb = counts[ch]
+            mw, mg, _nc, mb, cblk, rbc = maxn[ch]
+            gblock = cblk > 0
+            padded = modes[ch] == "region" or gblock
+            # pad windows sit at the top of their pad region: gblock
+            # regions are rbc rows, region-mode tiles REGION_BLK rows
+            pstride = (rbc if gblock else REGION_BLK) - rtile
             segs["rstart"].append(rs[woff:woff + nw])
             segs["rcoff"].append(rc[woff:woff + nw])
             segs["rlen"].append(rl[woff:woff + nw])
@@ -352,32 +544,54 @@ def pack_group_run_tables(group, utile_g, itemsize: int, rtile: int,
                 segs["rstart"].append(np.full(padw, dummy_row, np.int64))
                 segs["rcoff"].append(
                     np.full(padw, ncl[ch] - rtile, np.int64))
-                # region-mode pads live in a pad region based at
+                # region/gblock-mode pads live in a pad region based at
                 # dummy_row - stride, so their in-region offset (rlen
                 # bits 16+) is stride; vlen stays 0
                 segs["rlen"].append(
-                    np.full(padw, stride << 16, np.int64)
-                    if modes[ch] == "region"
-                    else np.zeros(padw, np.int64))
-            segs["rgrow"].append(rg[goff:goff + nrg])
-            segs["rgnf"].append(rn[goff:goff + nrg])
-            segs["rgwoff"].append(rw[goff:goff + nrg])
+                    np.full(padw, pstride << 16, np.int64)
+                    if padded else np.zeros(padw, np.int64))
+            # region part, then (gblock) block part, each padded to the
+            # group max — the apply site slices by the static maxn counts
             padg = mg - nrg
-            padrow = dummy_row - stride
-            if padw and modes[ch] == "region":
+            padb = mb - nb
+            padrow = dummy_row - (pstride if padded else stride)
+            rg_r, rn_r, rw_r = (a[goff:goff + nrg] for a in (rg, rn, rw))
+            rg_b, rn_b, rw_b = (a[goff + nrg:goff + nrg + nb]
+                                for a in (rg, rn, rw))
+            segs["rgrow"].append(rg_r)
+            segs["rgnf"].append(rn_r)
+            segs["rgwoff"].append(rw_r)
+            if padded and (padw or (gblock and padb)):
                 # attach this member's dummy windows to a pad region in
                 # the dead tail (flagged: serialize behind the previous
-                # region's write-back)
+                # region's write-back); under gblock they ride one pad
+                # block based at the (grown) C-buffer tail
+                nfirst = (padb if gblock else padw)
                 segs["rgrow"].append(np.asarray([padrow], np.int64))
-                segs["rgnf"].append(np.asarray([padw * 2 + 1], np.int64))
-                segs["rgwoff"].append(np.asarray([nw], np.int64))
+                segs["rgnf"].append(
+                    np.asarray([nfirst * 2 + 1], np.int64))
+                segs["rgwoff"].append(np.asarray([nb if gblock else nw],
+                                                 np.int64))
                 padg -= 1
             if padg > 0:
                 segs["rgrow"].append(np.full(padg, padrow, np.int64))
                 segs["rgnf"].append(np.zeros(padg, np.int64))
                 segs["rgwoff"].append(np.full(padg, mw, np.int64))
+            if gblock:
+                segs["rgrow"].append(rg_b)
+                segs["rgnf"].append(rn_b)
+                segs["rgwoff"].append(rw_b)
+                if padb > 0:
+                    # one pad block absorbs the dummy windows; the rest
+                    # are empty (window count 0)
+                    bnw_pad = np.zeros(padb, np.int64)
+                    bnw_pad[0] = padw
+                    segs["rgrow"].append(
+                        np.full(padb, ncl[ch] - cblk, np.int64))
+                    segs["rgnf"].append(bnw_pad)
+                    segs["rgwoff"].append(np.full(padb, nw, np.int64))
             woff += nw
-            goff += nrg
+            goff += nrg + nb
         for f in _RUN_FIELDS:
             stacked[f].append(np.concatenate(segs[f])
                               if segs[f] else np.zeros(0, np.int64))
@@ -935,20 +1149,35 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
             )
             continue
         # ---- window-table paths ----------------------------------------
-        nw, nrg, *ncx = rchunks[ci] if rchunks else (0, 0)
+        entry = rchunks[ci] if rchunks else (0, 0)
+        nw, nrg = entry[0], entry[1]
         if not nw:
             continue
+        NC = entry[2] if len(entry) > 2 else T
+        nb = entry[3] if len(entry) > 3 else 0
+        cblk = entry[4] if len(entry) > 4 else 0
+        rbc = entry[5] if len(entry) > 5 else 0
         Cf = C.reshape(-1, LANE)
         # pad Cf to the plan's C-buffer row count NC (>= T; grown past the
-        # true row count when a window underflow forced extra slack)
-        NC = ncx[0] if ncx else T
+        # true row count when a window underflow forced extra slack, and
+        # past the last gblock C-block base + CBLK)
         if Cf.shape[0] < NC:
             Cf = jnp.pad(Cf, ((0, NC - Cf.shape[0]), (0, 0)))
         rs = jax.lax.slice(b.rstart, (roff,), (roff + nw,))
         rc = jax.lax.slice(b.rcoff, (roff,), (roff + nw,))
         rl = jax.lax.slice(b.rlen, (roff,), (roff + nw,))
         roff += nw
-        if extend == "runs_pallas" and nrg:
+        if extend == "runs_pallas" and nb:
+            from .ops.extend_add import gblock_rmw
+
+            rg = jax.lax.slice(b.rgrow, (goff,), (goff + nrg,))
+            rn = jax.lax.slice(b.rgnf, (goff,), (goff + nrg,))
+            bcb = jax.lax.slice(b.rgrow, (goff + nrg,), (goff + nrg + nb,))
+            bnw = jax.lax.slice(b.rgnf, (goff + nrg,), (goff + nrg + nb,))
+            goff += nrg + nb
+            Lx = gblock_rmw(Lx, Cf, rc, rl, rg, rn, bcb, bnw, T=T,
+                            CBLK=cblk, RB=rbc)
+        elif extend == "runs_pallas" and nrg:
             from .ops.extend_add import region_rmw
 
             rg = jax.lax.slice(b.rgrow, (goff,), (goff + nrg,))
@@ -968,7 +1197,7 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
                 e = min(nw, s + cap)
                 Lx = run_rmw(Lx, Cf, rs[s:e], rc[s:e], rl[s:e], T=T)
         else:
-            goff += nrg
+            goff += nrg + nb
             uoff = (rl >> 8) & 0xFF
             vlen = rl & 0xFF
             kk = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)

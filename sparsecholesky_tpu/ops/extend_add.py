@@ -42,6 +42,9 @@ NBUF = 4
 #: U-tile prefetch depth of the region kernel
 NUBUF = 8
 
+#: C-block prefetch depth of the gblock kernel
+NCB = 4
+
 
 def _rmw_kernel(rstart_ref, rcoff_ref, rlen_ref, c_hbm, lx_ref, _out,
                 wscratch, uscratch, wsem, usem, *, nw: int, T: int):
@@ -266,3 +269,162 @@ def region_rmw(Lx, Cf, rcoff, rlen, rgrow, rgnf, rgwoff, *,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(rgrow, rgnf, rgwoff, rcoff, rlen, Cf, Lx)
+
+
+# ---------------------------------------------------------------------------
+# Group-block RMW ("gblock", numeric._pack_windows mode="gblock"): like the
+# region kernel, but the per-window U-tile HBM DMA (~190 ns issue, the
+# measured round-3 floor at 288k runs on poisson3d:48) is replaced by a
+# VMEM read from a C *block* staged wholesale: windows are sorted
+# (region, owner group, store row) and consecutive windows of one owner
+# group — whose C rows are CONTIGUOUS (the einsum's i-range) — share one
+# CBLK-row C DMA.  The per-window work drops to a VMEM dynamic-slice
+# masked subtract (measured 50 ns/window with the manual 2x unroll,
+# scripts_vmemwin_bench.py).  Store-side region double-buffering, the
+# adjacent-tile overlap flag, and the single-wait discipline are the
+# region kernel's.
+
+
+def _gblock_kernel(rgrow_ref, rgnf_ref, bc_ref, bnw_ref, rcoff_ref,
+                   rlen_ref, c_hbm, lx_ref, _out, wbuf, cbuf, wsem, csem,
+                   *, nrg: int, nb: int, T: int, RB: int, CBLK: int):
+    def rg_in(slot, r):
+        return pltpu.make_async_copy(
+            lx_ref.at[pl.ds(rgrow_ref[r], RB)], wbuf.at[slot],
+            wsem.at[slot, 0],
+        )
+
+    def rg_out(slot, r):
+        return pltpu.make_async_copy(
+            wbuf.at[slot], lx_ref.at[pl.ds(rgrow_ref[r], RB)],
+            wsem.at[slot, 1],
+        )
+
+    def c_in(slot, bi):
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(bc_ref[bi], CBLK)], cbuf.at[slot],
+            csem.at[slot],
+        )
+
+    kk = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    for i in range(min(NCB, nb)):
+        c_in(i, i).start()
+    rg_in(0, 0).start()
+
+    def body(r, carry):
+        bi0, wi0 = carry                    # running block / window index
+        slot = r % 2
+        rg_in(slot, r).wait()
+        nblk = rgnf_ref[r] >> 1
+
+        def bbody(j, c2):
+            bi, wi = c2
+            sb = bi % NCB
+            c_in(sb, bi).wait()
+            base = bc_ref[bi]
+            nwb = bnw_ref[bi]
+
+            def apply(w):
+                packed = rlen_ref[w]
+                off = packed >> 16
+                uoff = (packed >> 8) & 0xFF
+                vlen = packed & 0xFF
+                dc = rcoff_ref[w] - base
+                mask = (kk >= uoff) & (kk < uoff + vlen)
+                cur = wbuf[slot, pl.ds(off, T)]
+                wbuf[slot, pl.ds(off, T)] = cur - jnp.where(
+                    mask, cbuf[sb, pl.ds(dc, T)], 0.0
+                )
+
+            def wbody(k, _):
+                # manual 2x unroll: halves the measured per-window
+                # scalar-issue cost (Mosaic rejects fori partial unroll)
+                apply(wi + 2 * k)
+                apply(wi + 2 * k + 1)
+                return 0
+
+            jax.lax.fori_loop(0, nwb >> 1, wbody, 0, unroll=False)
+
+            @pl.when((nwb & 1) == 1)
+            def _():
+                apply(wi + nwb - 1)
+
+            @pl.when(bi + NCB < nb)
+            def _():
+                c_in(sb, bi + NCB).start()
+
+            return (bi + 1, wi + nwb)
+
+        bi0, wi0 = jax.lax.fori_loop(0, nblk, bbody, (bi0, wi0),
+                                     unroll=False)
+        rg_out(slot, r).start()
+
+        @pl.when(r + 1 < nrg)
+        def _():
+            nslot = (r + 1) % 2
+            # single-wait discipline (see _region_kernel): slot reuse
+            # waits r-1's write-back unless iteration r's overlap wait
+            # already consumed it
+            @pl.when((r >= 1) & ((rgnf_ref[r] & 1) == 0))
+            def _():
+                rg_out(nslot, r - 1).wait()
+
+            @pl.when((rgnf_ref[r + 1] & 1) == 1)
+            def _():
+                rg_out(slot, r).wait()        # adjacent-tile overlap
+
+            rg_in(nslot, r + 1).start()
+
+        return (bi0, wi0)
+
+    jax.lax.fori_loop(0, nrg, body, (0, 0), unroll=False)
+    rg_out((nrg - 1) % 2, nrg - 1).wait()
+    if nrg >= 2:
+        @pl.when((rgnf_ref[nrg - 1] & 1) == 0)
+        def _():
+            rg_out((nrg - 2) % 2, nrg - 2).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("T", "CBLK", "RB", "interpret"))
+def gblock_rmw(Lx, Cf, rcoff, rlen, rgrow, rgnf, bc, bnw, *,
+               T: int = RUN_TILE, CBLK: int = 256, RB: int = 1024,
+               interpret: bool = False):
+    """Group-block variant of region_rmw (see module section above).
+
+    ``bc``/``bnw`` are the per-block C base row and window count; the
+    planner guarantees every block's windows satisfy
+    0 <= rcoff - bc <= CBLK - T and Cf has >= bc + CBLK rows.  Regions
+    are greedy base-ANCHORED RB-row spans (numeric._anchored_regions):
+    ascending bases, overlap-with-predecessor flagged in rgnf bit 0
+    (transitively safe: each region's read waits its flagged
+    predecessor's write-back, whose read waited ITS predecessor).
+    Scalar SMEM: 8 B per window (rcoff + rlen) + 8 B per region + 8 B
+    per block."""
+    nrg = rgrow.shape[0]
+    nb = bc.shape[0]
+    kern = functools.partial(_gblock_kernel, nrg=nrg, nb=nb, T=T,
+                             RB=RB, CBLK=CBLK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Cf stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Lx stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, RB, LANE), Lx.dtype),
+            pltpu.VMEM((NCB, CBLK, LANE), Lx.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((NCB,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(Lx.shape, Lx.dtype),
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(rgrow, rgnf, bc, bnw, rcoff, rlen, Cf, Lx)

@@ -65,7 +65,7 @@ def test_window_table_covers_all_updates():
             rs, rc, rl, _rg, _rn, _rw, pcounts, _ncs = numeric._window_table(
                 b, b.utile_g, 10**9, itemsize, T
             )
-            counts = [nw for nw, _nrg in pcounts]
+            counts = [c[0] for c in pcounts]
             # collect (store_row, chunk_idx, c_row) from windows
             got = set()
             off = 0
@@ -131,8 +131,8 @@ def test_smem_cap_forces_interleave(monkeypatch):
     plan = compile_plan(A, dtype=np.float32)
     _flat, meta = numeric.build_runs(plan)
     for _kind, _spec, _utile_g, _wm, rchunks, *_flags in meta:
-        for _nw, nrg, _nc in rchunks:
-            assert nrg == 0
+        for _nw, nrg, _nc, nb, _cblk, _rb in rchunks:
+            assert nrg == 0 and nb == 0
     Lx_s, _ = _factor_dense(plan, A, "scatter")
     Lx_r, _ = _factor_dense(plan, A, "runs_xla")
     assert np.allclose(Lx_s, Lx_r, rtol=2e-5, atol=2e-5)
@@ -144,6 +144,63 @@ def test_run_tile_selection_bounds():
     from sparsecholesky_tpu.plan import _RUN_TILES
 
     assert plan.run_tile in _RUN_TILES
+
+
+def test_gblock_packing_covers_and_is_wellformed():
+    """gblock packing must cover the same windows, keep every window
+    inside its region tile AND its C block (0 <= wc - bc <= CBLK - T),
+    and partition windows/blocks consistently (region block counts sum
+    to nb, block window counts sum to nw, block C reads stay inside the
+    grown C buffer)."""
+    from sparsecholesky_tpu.plan import REGION_BLK
+
+    A = poisson2d(16)
+    plan = compile_plan(A, dtype=np.float32)
+    T = plan.run_tile
+    itemsize = plan.dtype.itemsize
+    CBLK = 256
+    RB = 512
+    checked = 0
+    for lev in plan.levels:
+        for b in lev:
+            if b.up is None:
+                continue
+            wins, ncs = numeric._chunk_windows(b, b.utile_g, itemsize, T,
+                                               with_gid=True)
+            for ci, (ws, wc, wl, gd) in enumerate(wins):
+                if not len(ws):
+                    continue
+                rs, rc, rl, rg, rn, rw, nrg = numeric._pack_windows(
+                    ws, wc, wl, ncs[ci], "gblock", 10**9, T,
+                    gid=gd, cblk=CBLK, rb=RB, row_cap=10**9 + T
+                )
+                nb = len(rg) - nrg
+                assert nb >= 1
+                # same multiset of windows
+                assert (sorted(zip(ws, wc, wl))
+                        == sorted(zip(rs, rc, rl & 0xFFFF)))
+                regions, blocks = rg[:nrg], rg[nrg:]
+                rnf, bnw = rn[:nrg], rn[nrg:]
+                # block counts per region sum to nb; windows per block to nw
+                assert (rnf >> 1).sum() == nb
+                assert bnw.sum() == len(rs)
+                # every block's windows stay in its C window and region
+                NC = ncs[ci] + CBLK - T  # the caller-side growth
+                bi = np.repeat(np.arange(nb), bnw)
+                ri = np.repeat(np.arange(nrg), rnf >> 1)  # region per block
+                dc = rc - blocks[bi]
+                assert (dc >= 0).all() and (dc + T <= CBLK).all()
+                assert (blocks + CBLK <= NC).all()
+                off = rs - regions[ri[bi]]
+                assert (off >= 0).all() and (off + T <= RB).all()
+                assert (off == (rl >> 16)).all()
+                # anchored regions: ascending bases, overlap flagged
+                if nrg > 1:
+                    assert (np.diff(regions) > 0).all()
+                    adj = (np.diff(regions) < RB)
+                    assert ((rnf & 1)[1:] == adj.astype(rn.dtype)).all()
+                checked += 1
+    assert checked > 0
 
 
 def test_region_packing_covers_and_is_wellformed():
@@ -207,7 +264,7 @@ def test_large_run_tile_underflow_grows_c_buffer(monkeypatch):
     _flat, meta = numeric.build_runs(plan)
     grown = False
     for _kind, _spec, _utile_g, _wm, rchunks, *_flags in meta:
-        for _nw, _nrg, nc in rchunks:
+        for _nw, _nrg, nc, _nb, _cblk, _rb in rchunks:
             assert nc >= plan.run_tile
             grown |= nc > plan.run_tile
     assert grown, "expected at least one chunk to grow its C buffer"
