@@ -31,6 +31,14 @@ def test_scaled_logdet_diag(bcsstk01):
     np.testing.assert_allclose(F1.diag(), F0.diag(), rtol=1e-10)
 
 
+@pytest.fixture(scope="module")
+def bus_f32(bus1138):
+    """Shared fp32 AMD-ordered equilibrated factor of 1138_bus (read-only
+    in the tests below; one chol() instead of four keeps the 1-core suite
+    inside its wall budget)."""
+    return chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+
+
 def _backward_error(Asp, x, b):
     nrmA = np.abs(Asp).sum(axis=1).max()
     x = np.asarray(x, np.float64)
@@ -39,10 +47,10 @@ def _backward_error(Asp, x, b):
     )
 
 
-def test_fp32_scaled_1138bus_with_refinement(bus1138):
+def test_fp32_scaled_1138bus_with_refinement(bus1138, bus_f32):
     """The TPU-production path: fp32 factor + equilibration + iterative
     refinement recovers fp64-class backward error (cond(A) ~ 1e7)."""
-    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    F = bus_f32
     b = np.linspace(1, 2, bus1138.n)
     Asp = bus1138.to_scipy()
     be0 = _backward_error(Asp, F.solve(b, refine=0), b)
@@ -175,10 +183,10 @@ def test_ell_residual_matches_fp64(bus1138):
     assert np.abs(got - want).max() < 1e-12 * scale
 
 
-def test_device_refined_solve(bus1138):
+def test_device_refined_solve(bus1138, bus_f32):
     """refine="device": one-dispatch fused refinement reaches far below
     fp32 backward error; "auto" (device + host polish) reaches fp64-class."""
-    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+    F = bus_f32
     Asp = bus1138.to_scipy()
     b = np.linspace(1, 2, bus1138.n)
     be_raw = _backward_error(Asp, F.solve(b, refine=0), b)
@@ -204,8 +212,8 @@ def test_device_refined_solve_chunked(bus1138, monkeypatch):
     assert be_dev < 1e-11
 
 
-def test_device_refined_multirhs(bus1138):
-    F = chol(bus1138, ordering="amd", dtype=np.float32, scale=True)
+def test_device_refined_multirhs(bus1138, bus_f32):
+    F = bus_f32
     Asp = bus1138.to_scipy()
     rng = np.random.default_rng(11)
     B = rng.standard_normal((bus1138.n, 3))

@@ -37,9 +37,14 @@ def test_supernodal_bcsstk01(bcsstk01):
 
 
 def test_supernodal_1138bus(bus1138):
-    F = chol(bus1138)
+    # AMD instead of natural: same correctness coverage (natural-order
+    # supernodal is pinned on bcsstk01 below) at ~8x less fill — the
+    # natural-order 1138_bus chunked compile alone cost 3 minutes of the
+    # 1-core suite budget
+    F = chol(bus1138, ordering="amd")
     Ld = np.tril(F.L().to_dense())
-    Ad = bus1138.to_dense()
+    perm = F.plan.perm
+    Ad = bus1138.to_dense()[perm][:, perm]   # L factors P A P^T
     rel = np.linalg.norm(Ad - Ld @ Ld.T) / np.linalg.norm(Ad)
     assert rel < 1e-12
 
@@ -157,8 +162,8 @@ def test_chunked_execution_matches(monkeypatch):
 
     from sparsecholesky_tpu.ordering import nd_grid
 
-    A = generators.poisson2d(24)
-    plan = compile_plan(A, perm=nd_grid((24, 24)), dtype=np.float64)
+    A = generators.poisson2d(16)
+    plan = compile_plan(A, perm=nd_grid((16, 16)), dtype=np.float64)
     arrays = numeric.device_arrays(plan)
     assert len(arrays["meta"].value) > 3
     Lx_ref, d = numeric.factorize(plan, A.data, arrays=arrays, scale=True)

@@ -202,30 +202,46 @@ def test_partitioned_solve_matches_single(mesh8):
 # per VERDICT round-1 item 4)
 
 
-def _check_wide(A, mesh, wide_nseg, perm=None, extend="scatter", ndev=8):
+@pytest.fixture(scope="module")
+def p3d12():
+    """Shared ND-ordered poisson3d(12) fixture for the wide tests: the
+    plan and single-chip reference factor are identical across them, and
+    each costs ~10s of the 1-core suite budget."""
+    from sparsecholesky_tpu import numeric
+    from sparsecholesky_tpu.ordering import nd_grid
+
+    A = generators.poisson3d(12)
+    plan = compile_plan(A, perm=nd_grid((12, 12, 12)))
+    Lx1, _d1 = numeric.factorize(plan, A.data, extend="scatter")
+    return A, plan, np.asarray(Lx1)
+
+
+def _check_wide(A, mesh, wide_nseg, perm=None, extend="scatter", ndev=8,
+                pre=None):
     from sparsecholesky_tpu.parallel import pstore
     from sparsecholesky_tpu import numeric
 
-    plan = compile_plan(A, perm=perm)
+    if pre is not None:
+        A, plan, Lx1 = pre
+    else:
+        plan = compile_plan(A, perm=perm)
+        Lx1, _d1 = numeric.factorize(plan, A.data, extend="scatter")
+        Lx1 = np.asarray(Lx1)
     Lx_s, lay, d = pstore.factorize_partitioned(
         plan, A.data, mesh, extend=extend, wide_nseg=wide_nseg,
     )
     assert lay.wide.any(), "fixture must actually contain a wide supernode"
     full = pstore.gather_full(plan, Lx_s, lay)
-    Lx1, d1 = numeric.factorize(plan, A.data, extend="scatter")
     np.testing.assert_allclose(
-        full, np.asarray(Lx1),
-        atol=1e-9 * max(1.0, float(np.abs(np.asarray(Lx1)).max())),
+        full, Lx1,
+        atol=1e-9 * max(1.0, float(np.abs(Lx1).max())),
     )
     return lay
 
 
-def test_wide_separator_distributed(mesh8):
+def test_wide_separator_distributed(mesh8, p3d12):
     # poisson3d(12) ND: root separator has 144 columns -> 2 lane segments
-    from sparsecholesky_tpu.ordering import nd_grid
-
-    A = generators.poisson3d(12)
-    lay = _check_wide(A, mesh8, wide_nseg=2, perm=nd_grid((12, 12, 12)))
+    lay = _check_wide(None, mesh8, wide_nseg=2, pre=p3d12)
     # the wide block's segments really live on different chips
     ws = np.where(lay.wide)[0]
     owners = {lay.wide_owner(int(s), k)
@@ -242,7 +258,7 @@ def test_wide_all_top_distributed(mesh8):
     _check_wide(A, mesh8, wide_nseg=1, perm=nd_grid((16, 16)))
 
 
-def test_wide_below_rows_dead_lane_mask(mesh8):
+def test_wide_below_rows_dead_lane_mask(mesh8, p3d12):
     # regression (found on irregular3d(18)): a distributed wide supernode
     # with BELOW rows (mb > 0) and a non-lane-multiple width — the last
     # 128-row window's triangular solve back-substitutes through Lkk's
@@ -250,18 +266,11 @@ def test_wide_below_rows_dead_lane_mask(mesh8):
     # the store's dead lanes and leaks into the partial Schur update.
     # wide_nseg=1 on 3D ND makes mid-level separators (w % 128 != 0,
     # m > 128) distribute.
-    from sparsecholesky_tpu.ordering import nd_grid
-
-    A = generators.poisson3d(12)
-    _check_wide(A, mesh8, wide_nseg=1, perm=nd_grid((12, 12, 12)))
+    _check_wide(None, mesh8, wide_nseg=1, pre=p3d12)
 
 
-def test_wide_runs_extend(mesh8):
-    from sparsecholesky_tpu.ordering import nd_grid
-
-    A = generators.poisson3d(12)
-    _check_wide(A, mesh8, wide_nseg=2, perm=nd_grid((12, 12, 12)),
-                extend="runs_xla")
+def test_wide_runs_extend(mesh8, p3d12):
+    _check_wide(None, mesh8, wide_nseg=2, extend="runs_xla", pre=p3d12)
 
 
 def _check_wide_solve(A, mesh, wide_nseg, perm):
