@@ -34,17 +34,52 @@ def _baseline_cache_path() -> str:
     return os.path.join(cache_root(), "cpu_baselines.json")
 
 
+#: wall budget for one scipy-splu baseline attempt; splu's MMD ordering
+#: on irregular meshes can run for HOURS at ~100k rows (observed on
+#: irregular3d:48), so the attempt runs in a subprocess that is killed
+#: at this deadline and the baseline reported as skipped
+_CPU_BASELINE_TIMEOUT_S = 600
+
+
+def _splu_once(A, timeout: float) -> float:
+    """One time-boxed splu factorization in a subprocess (splu holds the
+    GIL for its whole run, so an in-process deadline cannot fire)."""
+    import multiprocessing as mp
+    import scipy.sparse.linalg as spla
+
+    M = A.to_scipy().tocsc()
+
+    def work(q):
+        t0 = time.time()
+        spla.splu(M, permc_spec="MMD_AT_PLUS_A")
+        q.put(time.time() - t0)
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    p = ctx.Process(target=work, args=(q,), daemon=True)
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate()
+        p.join(5)
+        return float("nan")
+    try:
+        return float(q.get_nowait())
+    except Exception:
+        return float("nan")
+
+
 def _cpu_baseline_seconds(A, matrix: str, repeats: int = 3) -> float:
     """CPU direct-factorization baseline: scipy splu numeric time.
 
     The result is deterministic per (matrix, host), and splu on this host
     is minutes at n ~ 10^5+, so it is DISK-CACHED (cpu_baselines.json in
     the SPARSECHOL_CACHE dir) — computed once, reused forever.  Above 500k
-    rows it is skipped entirely (returns nan), and setting
+    rows it is skipped entirely (returns nan); a single attempt is
+    time-boxed to _CPU_BASELINE_TIMEOUT_S; and setting
     ``SPARSECHOL_BENCH_SKIP_CPU`` to a truthy value (anything but
     ''/0/false/no/off) skips it too."""
     import scipy
-    import scipy.sparse.linalg as spla
 
     if A.n > 500_000 or _env_flag("SPARSECHOL_BENCH_SKIP_CPU"):
         return float("nan")
@@ -59,12 +94,12 @@ def _cpu_baseline_seconds(A, matrix: str, repeats: int = 3) -> float:
         pass
     if A.n > 60_000:
         repeats = 1
-    M = A.to_scipy().tocsc()
     best = np.inf
     for _ in range(repeats):
-        t0 = time.time()
-        spla.splu(M, permc_spec="MMD_AT_PLUS_A")
-        best = min(best, time.time() - t0)
+        t = _splu_once(A, _CPU_BASELINE_TIMEOUT_S)
+        if np.isnan(t):
+            return float("nan")   # timed out: do not cache, report skipped
+        best = min(best, t)
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         data = {}
@@ -234,7 +269,8 @@ def run_bench(
         "vs_baseline_one_shot": vs_one,
         "baseline_skipped": (None if vs is not None else
                              "scipy splu baseline skipped: matrix too "
-                             "large for this host's CPU (n > 500k) or "
+                             "large for this host's CPU (n > 500k), splu "
+                             "exceeded the 600s time box, or "
                              "SPARSECHOL_BENCH_SKIP_CPU set"),
         "detail": {
             "n": A.n,

@@ -43,7 +43,7 @@ NBUF = 4
 NUBUF = 8
 
 #: C-block prefetch depth of the gblock kernel
-NCB = 4
+NCB = 8
 
 
 def _rmw_kernel(rstart_ref, rcoff_ref, rlen_ref, c_hbm, lx_ref, _out,
@@ -336,18 +336,23 @@ def _gblock_kernel(rgrow_ref, rgnf_ref, bc_ref, bnw_ref, rcoff_ref,
                     mask, cbuf[sb, pl.ds(dc, T)], 0.0
                 )
 
-            def wbody(k, _):
-                # manual 2x unroll: halves the measured per-window
-                # scalar-issue cost (Mosaic rejects fori partial unroll)
-                apply(wi + 2 * k)
-                apply(wi + 2 * k + 1)
+            def wbody4(k, _):
+                # manual 4x unroll: cuts the measured per-window
+                # scalar-issue cost ~2x vs no unroll (Mosaic rejects
+                # fori partial unroll, so unroll by hand)
+                apply(wi + 4 * k)
+                apply(wi + 4 * k + 1)
+                apply(wi + 4 * k + 2)
+                apply(wi + 4 * k + 3)
                 return 0
 
-            jax.lax.fori_loop(0, nwb >> 1, wbody, 0, unroll=False)
+            jax.lax.fori_loop(0, nwb >> 2, wbody4, 0, unroll=False)
 
-            @pl.when((nwb & 1) == 1)
-            def _():
-                apply(wi + nwb - 1)
+            def tail(j, _):
+                apply(wi + (nwb & ~3) + j)
+                return 0
+
+            jax.lax.fori_loop(0, nwb & 3, tail, 0, unroll=False)
 
             @pl.when(bi + NCB < nb)
             def _():
