@@ -30,6 +30,12 @@ def main():
     result = run_bench(matrix=matrix, on_headline=emit)
     # full detail on stderr for humans
     print(json.dumps(result, indent=2), file=sys.stderr)
+    # the on-chip extend-add kernel equality check is a GATE: a Mosaic or
+    # planner regression must not ship silently behind a green headline
+    if result["detail"].get("kernel_check_ok") is False:
+        print("FATAL: extend-add kernel check failed "
+              f"({result['detail']})", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

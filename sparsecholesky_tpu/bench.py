@@ -64,7 +64,9 @@ def _splu_once(A, timeout: float) -> float:
         p.join(5)
         return float("nan")
     try:
-        return float(q.get_nowait())
+        # the child's queue feeder thread may still be flushing the pipe
+        # right after join(); block briefly rather than get_nowait()
+        return float(q.get(timeout=5))
     except Exception:
         return float("nan")
 
@@ -117,6 +119,50 @@ def _cpu_baseline_seconds(A, matrix: str, repeats: int = 3) -> float:
     except Exception:
         pass
     return best
+
+
+def _kernel_check(fixture: str = "poisson3d:16") -> dict:
+    """On-chip extend-add kernel gate: factor a small fixture with
+    extend="runs_xla" (kernel-semantics XLA reference) and
+    extend="runs_pallas" (the deployed DMA kernel) and compare factors.
+
+    Pallas INTERPRET mode drops the aliased-output DMA writes (CLAUDE.md),
+    so the CPU suite cannot cover the deployed kernel — this is the only
+    committed gate that would catch a Mosaic or planner regression
+    (VERDICT r3 weak #5).  Skipped off-TPU."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {"kernel_check_max_abs_diff": None,
+                "kernel_check_ok": None,
+                "kernel_check_skipped": "not a TPU backend"}
+    try:
+        import jax.numpy as jnp
+        from .cli import _load
+        from .ordering import compute_ordering
+        from .plan import compile_plan
+        from . import numeric as N
+
+        A, grid = _load(fixture)
+        perm = compute_ordering(A, "nd-grid" if grid else "auto",
+                                grid_shape=grid)
+        P = compile_plan(A, perm=perm, dtype=np.float32)
+        arrays = N.device_arrays(P)
+        Ax = jnp.asarray(A.data)
+        outs = {}
+        for ext in ("runs_xla", "runs_pallas"):
+            Lx, _d = N.factorize(P, Ax, arrays=arrays, check=False,
+                                 extend=ext)
+            outs[ext] = P.extract_csc(np.asarray(Lx)).to_dense()
+        diff = float(np.abs(outs["runs_xla"] - outs["runs_pallas"]).max())
+        scale = float(np.abs(outs["runs_xla"]).max())
+        return {"kernel_check_max_abs_diff": diff,
+                "kernel_check_ok": bool(diff <= 1e-5 * scale),
+                "kernel_check_fixture": fixture}
+    except Exception as e:  # record, don't mask the headline
+        return {"kernel_check_max_abs_diff": None,
+                "kernel_check_ok": False,
+                "kernel_check_error": f"{type(e).__name__}: {e}"}
 
 
 def run_bench(
@@ -256,6 +302,8 @@ def run_bench(
     t_solve_dev = _time_solve(refine="device")
     t_solve_auto = _time_solve(refine="auto")
 
+    kcheck = _kernel_check()
+
     # vs_baseline is steady-state refactorization (the production pattern);
     # vs_baseline_one_shot charges us the full cold build too (scipy splu
     # cannot separate its symbolic phase through its Python API).  None =
@@ -295,6 +343,7 @@ def run_bench(
             "solve_seconds_device_refined": t_solve_dev,
             "solve_seconds_auto_refined": t_solve_auto,
             "cpu_splu_seconds": cpu_s,
+            **kcheck,
             "baseline_def": (
                 "scipy splu full factorize wall-time on this host vs our "
                 "steady-state numeric refactorization (vs_baseline) and vs "

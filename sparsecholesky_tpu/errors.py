@@ -30,19 +30,34 @@ class NotPositiveDefiniteError(SparseCholeskyError):
         supernode: int | None = None,
         column_range: tuple[int, int] | None = None,
         pivot: float | None = None,
+        column: int | None = None,
+        diagonal=None,
     ):
         detail = message
         if supernode is not None:
             detail += f" (supernode {supernode}"
             if column_range is not None:
                 detail += f", columns [{column_range[0]}, {column_range[1]})"
+            if column is not None:
+                detail += f", offending column {column}"
             if pivot is not None:
                 detail += f", smallest pivot {pivot:.6e}"
             detail += ")"
+        if diagonal is not None:
+            # the reference dumps the panel's diagonal entries on failure
+            # (/root/reference/include/chol.hpp:1265-1281); ours are the
+            # factored L diagonals — finite entries are sqrt(pivot), the
+            # failure point onward is nan/<=0
+            vals = ", ".join(f"{float(v):.6e}" for v in diagonal[:16])
+            if len(diagonal) > 16:
+                vals += ", ..."
+            detail += f"\n  supernode L diagonal: [{vals}]"
         super().__init__(detail)
         self.supernode = supernode
         self.column_range = column_range
         self.pivot = pivot
+        self.column = column
+        self.diagonal = diagonal
 
 
 class SymbolicError(SparseCholeskyError):

@@ -112,6 +112,13 @@ def test_not_positive_definite():
     with pytest.raises(sc.NotPositiveDefiniteError) as ei:
         chol(A)
     assert ei.value.supernode is not None
+    # reference-parity diagnostics (/root/reference/include/chol.hpp:1265-1281):
+    # offending column and a diagonal dump ride the exception
+    assert ei.value.column is not None
+    c0, c1 = ei.value.column_range
+    assert c0 <= ei.value.column < c1
+    assert ei.value.diagonal is not None and len(ei.value.diagonal) >= 1
+    assert "offending column" in str(ei.value)
 
 
 def test_log_det(bcsstk01):
