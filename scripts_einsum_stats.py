@@ -14,6 +14,9 @@ import sys
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize force-selects TPU
 from sparsecholesky_tpu.cli import _load
 from sparsecholesky_tpu.ordering import compute_ordering
 from sparsecholesky_tpu.plan import compile_plan, update_chunks, LANE

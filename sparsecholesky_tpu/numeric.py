@@ -1105,6 +1105,9 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
     B, mb_pad, w_pad = L21.shape
     G_pad = b.g_pad
 
+    if extend == "none":        # profiling aid: skip V AND the update
+        return Lx
+
     # -- workspace placement: one row-gather (host-precomputed source map)
     # or one row-scatter of L21's rows ------------------------------------
     if b.vsrc is not None:
@@ -1120,8 +1123,10 @@ def apply_schur_update(Lx, b: _BucketArrays, L21, R_L: int, dtype,
         V = V.at[vrow.reshape(-1)].set(L21.reshape(-1, w_pad), mode="drop")
     V = V.reshape(B, G_pad, LANE, w_pad).astype(dtype)
 
-    if extend == "none":        # profiling aid: skip the whole update
-        return Lx
+    if extend == "vonly":       # profiling aid: V built, skip the update
+        # keep V alive with a negligible dependency
+        return Lx.at[0:1].add(V.reshape(-1, w_pad)[:1, :1].sum()
+                              * jnp.asarray(1e-30, dtype))
     ntiles = -(-mb_pad // UPDATE_TILE)
     if not utile_g:
         utile_g = (G_pad,) * ntiles
