@@ -30,21 +30,21 @@ def main():
         os.environ.get("SPARSECHOL_BENCH_MATRIX", "poisson3d:48")
     A, grid = _load(matrix)
     F = chol(A, ordering="nd-grid" if grid else "auto", grid_shape=grid,
-             dtype=np.float32, scale=True)
+             dtype=np.float32, scale="auto")
     Ax = jnp.asarray(A.data)
 
     def sync(x):
         float(jnp.sum(x[:8]))
 
     def run(backend, extend, K=8):
-        Lx, _ = _numeric.factorize(F.plan, Ax, arrays=F.arrays, scale=True,
-                                   check=False, extend=extend,
-                                   backend=backend)
+        Lx, _ = _numeric.factorize(F.plan, Ax, arrays=F.arrays,
+                                   scale=F.scaled, check=False,
+                                   extend=extend, backend=backend)
         sync(Lx)
         t0 = time.time()
         for _ in range(K):
             Lx, _ = _numeric.factorize(F.plan, Ax, arrays=F.arrays,
-                                       scale=True, check=False,
+                                       scale=F.scaled, check=False,
                                        extend=extend, backend=backend)
         sync(Lx)
         return (time.time() - t0) / K

@@ -171,7 +171,7 @@ def run_bench(
     dtype: str = "float32",
     backend: str = "xla",
     repeats: int = 5,
-    scale: bool = True,
+    scale: bool | str = "auto",
     on_headline=None,
 ) -> dict:
     """Run the factorization benchmark.
@@ -183,21 +183,34 @@ def run_bench(
     still yields the parsed perf number.
     """
     from .cli import _load
-    from .api import chol
+    from .api import CholeskyFactor, _needs_equilibration
+    from .ordering import compute_ordering
+    from .plan import compile_plan
+    from . import numeric as _num
 
     A, grid_shape = _load(matrix)
     if ordering == "auto-grid":
         ordering = "nd-grid" if grid_shape is not None else "auto"
 
+    # cold build, decomposed (VERDICT r3 item 5): host plan compile vs
+    # device upload vs first factorize (jit compile / cache deserialize
+    # + run).  The uncontrollable tunnel wake is whatever the enclosing
+    # process already paid before this call.
     t_sym0 = time.time()
-    F = chol(
-        A,
-        ordering=ordering,
-        grid_shape=grid_shape,
-        dtype=np.dtype(dtype),
-        scale=scale,
-        backend=backend,
-    )
+    if scale == "auto":
+        scale = _needs_equilibration(A)
+    perm = compute_ordering(A, ordering, grid_shape=grid_shape)
+    plan = compile_plan(A, perm=perm, dtype=np.dtype(dtype), layout="auto")
+    t_plan = time.time() - t_sym0
+    t0 = time.time()
+    arrays = _num.device_arrays(plan)
+    t_upload = time.time() - t0
+    t0 = time.time()
+    Lx0, d0 = _num.factorize(plan, A.data, arrays=arrays, backend=backend,
+                             scale=scale)
+    t_first = time.time() - t0
+    F = CholeskyFactor(plan, arrays, Lx0, d0, A=A, backend=backend,
+                       scaled=scale)
     t_build = time.time() - t_sym0
 
     # steady-state numeric refactorization.  Dispatches are async; the
@@ -325,6 +338,7 @@ def run_bench(
             "nnz_A": A.nnz,
             "nnz_L": nnzL,
             "layout": F.plan.layout,
+            "equilibrated": bool(scale),
             "store_bytes": F.plan.store_bytes(),
             "true_flops": flops,
             "padded_flops": F.plan.padded_flops(),
@@ -338,6 +352,9 @@ def run_bench(
             "speed_of_light_fraction": sol["speed_of_light_fraction"],
             "roofline_bound": sol["roofline_bound"],
             "build_seconds_incl_compile": t_build,
+            "build_seconds_host_plan": t_plan,
+            "build_seconds_device_upload": t_upload,
+            "build_seconds_first_factorize": t_first,
             "solve_backward_error": be,
             "solve_seconds_raw": t_solve_raw,
             "solve_seconds_device_refined": t_solve_dev,

@@ -1308,6 +1308,43 @@ def _dense_instore_step(Lx, b: _BucketArrays, R_L: int, dtype, utile_g,
 # Panel factorization backends
 
 
+#: cost-rule gate for the fused-diag chol loop vs jnp.linalg.cholesky:
+#: XLA's cholesky costs ~0.112 us per (panel, column) — LINEAR in batch
+#: (scripts_cholcost.py) — while the fori column loop costs ~w_pad small
+#: fused iterations independent of B (measured ~40 us at w=32-64,
+#: /tmp fusedcost probe round 4).  Model: fused ~ 20 + 0.6*w_pad us.
+def _use_fused_diag(B: int, w_pad: int) -> bool:
+    return B * w_pad * 0.112 > 20.0 + 0.6 * w_pad
+
+
+def _diag_chol_fused(P11: jax.Array, w_pad: int):
+    """Batch-size-independent Cholesky of the [B, w, w] diagonal blocks:
+    a fori loop of rank-1 column eliminations (the classical
+    right-looking algorithm on values).  Unlike jnp.linalg.cholesky this
+    vectorizes over the batch, so its cost is ~w_pad small fused ops
+    regardless of B.  Non-PD pivots are clamped (rsqrt of 1) and surfaced
+    via minpiv, matching the XLA path's contract."""
+    B = P11.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_pad), 2)
+
+    def body(j, carry):
+        A, minpiv = carry
+        colj = jax.lax.dynamic_slice(A, (0, 0, j), (B, w_pad, 1))
+        piv = jax.lax.dynamic_slice(colj, (0, j, 0), (B, 1, 1))
+        minpiv = jnp.minimum(minpiv, piv[:, 0, 0])
+        ok = piv > 0
+        inv = jax.lax.rsqrt(jnp.where(ok, piv, 1.0))
+        Lcol = jnp.where(ok, colj * inv, 0.0)
+        u = jnp.swapaxes(Lcol, 1, 2)                       # [B, 1, w]
+        A = A - Lcol * jnp.where(col_ids > j, u, 0.0)
+        return jax.lax.dynamic_update_slice(A, Lcol, (0, 0, j)), minpiv
+
+    L, minpiv = jax.lax.fori_loop(
+        0, w_pad, body, (P11, jnp.full((B,), jnp.inf, P11.dtype))
+    )
+    return jnp.tril(L), minpiv
+
+
 def _panel_factor_xla(P: jax.Array, w_pad: int):
     """Batched panel factorize via XLA's native Cholesky + triangular solve.
 
@@ -1317,11 +1354,16 @@ def _panel_factor_xla(P: jax.Array, w_pad: int):
     P11 = P[:, :w_pad, :]
     # symmetrize the lower-stored diagonal block (upper slots are scratch)
     P11 = jnp.tril(P11) + jnp.swapaxes(jnp.tril(P11, -1), -1, -2)
-    L11 = jnp.linalg.cholesky(P11)
-    # XLA cholesky yields NaN rows on non-PD input; surface via min diag.
-    diag = jnp.diagonal(L11, axis1=-2, axis2=-1)
-    minpiv = jnp.min(jnp.where(jnp.isnan(diag), -jnp.inf, diag), axis=-1)
-    L11 = jnp.where(jnp.isnan(L11), 0.0, L11)
+    if _use_fused_diag(P.shape[0], w_pad):
+        L11, minpiv = _diag_chol_fused(P11, w_pad)
+    else:
+        L11 = jnp.linalg.cholesky(P11)
+        # XLA cholesky yields NaN rows on non-PD input; surface via min
+        # diag.
+        diag = jnp.diagonal(L11, axis1=-2, axis2=-1)
+        minpiv = jnp.min(jnp.where(jnp.isnan(diag), -jnp.inf, diag),
+                         axis=-1)
+        L11 = jnp.where(jnp.isnan(L11), 0.0, L11)
     if P.shape[1] > w_pad:
         P21 = P[:, w_pad:, :]
         # L21 = P21 * L11^{-T}  (right-solve against the lower factor),

@@ -45,6 +45,15 @@ NUBUF = 8
 #: C-block prefetch depth of the gblock kernel
 NCB = 8
 
+#: region ring depth of the region/gblock kernels.  Reads are issued
+#: PF=NRB-2 regions ahead: the old 2-slot in-place scheme serialized
+#: every region read behind the previous region's write-back (~2 us DMA
+#: round-trip x ~23k regions was most of the measured RMW wall on
+#: poisson3d:48); unflagged regions overlap NO predecessor (anchored
+#: ascending bases make overlap transitive), so their reads are safe to
+#: issue early, and flagged regions degrade to the serialized order.
+NRB = 4
+
 
 def _rmw_kernel(rstart_ref, rcoff_ref, rlen_ref, c_hbm, lx_ref, _out,
                 wscratch, uscratch, wsem, usem, *, nw: int, T: int):
@@ -309,11 +318,34 @@ def _gblock_kernel(rgrow_ref, rgnf_ref, bc_ref, bnw_ref, rcoff_ref,
     kk = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
     for i in range(min(NCB, nb)):
         c_in(i, i).start()
+    # NRB-deep region ring, reads issued NRB-2 ahead (module docstring at
+    # NRB): an UNFLAGGED region overlaps no predecessor (anchored
+    # ascending bases make overlap transitive through the flag chain), so
+    # its read is safe to issue early; a flagged region's read is issued
+    # at its own iteration, after its predecessor's write-back.
+    # Write-sem single-wait schedule: write(x) is waited at body x+1 when
+    # flag(x+1) is set (RMW ordering), else at body x+2 (slot retire).
     rg_in(0, 0).start()
+    if nrg > 1:
+        @pl.when((rgnf_ref[1] & 1) == 0)
+        def _():
+            rg_in(1 % NRB, 1).start()
 
     def body(r, carry):
         bi0, wi0 = carry                    # running block / window index
-        slot = r % 2
+        slot = r % NRB
+
+        # slot-retire wait for write(r-2) (unless flag(r-1) consumed it)
+        @pl.when((r >= 2) & ((rgnf_ref[jnp.maximum(r - 1, 0)] & 1) == 0))
+        def _():
+            rg_out((r - 2) % NRB, r - 2).wait()
+
+        # flagged region: wait predecessor write-back, then read now
+        @pl.when((rgnf_ref[r] & 1) == 1)
+        def _():
+            rg_out((r - 1) % NRB, r - 1).wait()
+            rg_in(slot, r).start()
+
         rg_in(slot, r).wait()
         nblk = rgnf_ref[r] >> 1
 
@@ -364,30 +396,21 @@ def _gblock_kernel(rgrow_ref, rgnf_ref, bc_ref, bnw_ref, rcoff_ref,
                                      unroll=False)
         rg_out(slot, r).start()
 
-        @pl.when(r + 1 < nrg)
+        # prefetch read for r+2 (its slot's occupant r-2 was retired
+        # above; unflagged regions only)
+        @pl.when((r + 2 < nrg) & ((rgnf_ref[jnp.minimum(r + 2, nrg - 1)]
+                                   & 1) == 0))
         def _():
-            nslot = (r + 1) % 2
-            # single-wait discipline (see _region_kernel): slot reuse
-            # waits r-1's write-back unless iteration r's overlap wait
-            # already consumed it
-            @pl.when((r >= 1) & ((rgnf_ref[r] & 1) == 0))
-            def _():
-                rg_out(nslot, r - 1).wait()
-
-            @pl.when((rgnf_ref[r + 1] & 1) == 1)
-            def _():
-                rg_out(slot, r).wait()        # adjacent-tile overlap
-
-            rg_in(nslot, r + 1).start()
+            rg_in((r + 2) % NRB, r + 2).start()
 
         return (bi0, wi0)
 
     jax.lax.fori_loop(0, nrg, body, (0, 0), unroll=False)
-    rg_out((nrg - 1) % 2, nrg - 1).wait()
+    rg_out((nrg - 1) % NRB, nrg - 1).wait()
     if nrg >= 2:
         @pl.when((rgnf_ref[nrg - 1] & 1) == 0)
         def _():
-            rg_out((nrg - 2) % 2, nrg - 2).wait()
+            rg_out((nrg - 2) % NRB, nrg - 2).wait()
 
 
 @functools.partial(jax.jit,
@@ -419,9 +442,9 @@ def gblock_rmw(Lx, Cf, rcoff, rlen, rgrow, rgnf, bc, bnw, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, RB, LANE), Lx.dtype),
+            pltpu.VMEM((NRB, RB, LANE), Lx.dtype),
             pltpu.VMEM((NCB, CBLK, LANE), Lx.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((NRB, 2)),
             pltpu.SemaphoreType.DMA((NCB,)),
         ],
     )

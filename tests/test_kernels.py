@@ -71,3 +71,36 @@ def test_backends_match_xla(backend):
     np.testing.assert_allclose(
         Fp.L().to_dense(), Fx.L().to_dense(), atol=1e-11
     )
+
+
+def test_diag_chol_fused_matches_xla():
+    """The batch-size-independent fused-diag chol (numeric._diag_chol_fused)
+    must agree with jnp.linalg.cholesky on SPD batches — it replaces it on
+    large-batch narrow tiers (round-4 hot-path change)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sparsecholesky_tpu import numeric as N
+
+    rng = np.random.default_rng(7)
+    for (B, w) in ((4, 8), (9, 16), (3, 32)):
+        M = rng.standard_normal((B, w, w))
+        P = (M @ M.transpose(0, 2, 1) + w * np.eye(w)).astype(np.float64)
+        L, mp = N._diag_chol_fused(jnp.asarray(P), w)
+        ref = np.linalg.cholesky(P)
+        np.testing.assert_allclose(np.asarray(L), ref, rtol=5e-12,
+                                   atol=5e-12)
+        assert float(jnp.min(mp)) > 0
+
+    # non-PD: minpiv flags the failure, output stays finite
+    bad = np.array([[[1.0, 9.0], [9.0, 1.0]]])
+    L, mp = N._diag_chol_fused(jnp.asarray(bad), 2)
+    assert float(mp[0]) <= 0
+    assert np.isfinite(np.asarray(L)).all()
+
+
+def test_use_fused_diag_rule():
+    from sparsecholesky_tpu.numeric import _use_fused_diag
+    assert _use_fused_diag(456, 8)
+    assert _use_fused_diag(32, 64)
+    assert not _use_fused_diag(1, 64)
+    assert not _use_fused_diag(1, 1152)
