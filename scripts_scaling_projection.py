@@ -29,7 +29,7 @@ BW_ICI = 180e9     # v5e ICI per-link ~45GB/s x 4 links, allreduce effective
 PSUM_LAT = 5e-6    # per-collective latency (ICI hop + sync)
 
 
-def project(spec, maker, ordering, ndevs=(4, 8), wide_nseg=2):
+def project(spec, maker, ordering, ndevs=(4, 8), wide_nsegs=(1, 2)):
     from sparsecholesky_tpu.ordering import compute_ordering
     from sparsecholesky_tpu.plan import compile_plan, LANE
     from sparsecholesky_tpu.parallel import pstore
@@ -40,6 +40,7 @@ def project(spec, maker, ordering, ndevs=(4, 8), wide_nseg=2):
     rate = RATE["poisson3d" if grid else "irregular3d"]
     rows = []
     for ndev in ndevs:
+      for wide_nseg in wide_nsegs:
         lay = pstore.build_layout(plan, ndev, wide_nseg)
         rep = pstore.partition_report(plan, lay)
         # communication volume: frontier psum of the narrow top (R_top
@@ -62,14 +63,18 @@ def project(spec, maker, ordering, ndevs=(4, 8), wide_nseg=2):
                             for (s, k) in lay.exch)
         psum_bytes = (lay.R_top * LANE * 4) * (1 + top_levels) \
             + halo_rows * LANE * 4 * 2
-        n_psum = 1 + top_levels * 2
+        n_wide = int(lay.wide.sum()) if lay.wide is not None else 0
+        # each distributed wide supernode factors cooperatively with >= 1
+        # masked-psum broadcast per lane-segment group
+        n_psum = 1 + top_levels * 2 + n_wide
         t_chips = np.array(rep["total_flops"], float) / rate
         t_comm = psum_bytes * 2 * (ndev - 1) / ndev / BW_ICI \
             + n_psum * PSUM_LAT
         t_1 = plan.true_flops() / rate
         eff = t_1 / (ndev * (t_chips.max() + t_comm))
         rows.append(dict(
-            spec=spec, n=A.n, ndev=ndev,
+            spec=spec, n=A.n, ndev=ndev, wide_nseg=wide_nseg,
+            n_wide=n_wide,
             true_gflop=round(plan.true_flops() / 1e9, 1),
             replicated_fraction=round(rep["replicated_fraction"], 3),
             balance_efficiency=round(rep["balance_efficiency"], 3),

@@ -95,7 +95,16 @@ def subtree_partition(plan: FactorizePlan, ndev: int, expand: int = 4):
     heapq.heapify(heap)
     kept: list[int] = []
     target = max(expand * ndev, ndev)
-    while heap and len(heap) + len(kept) < target:
+    # stop only when BOTH the candidate count suffices AND the heaviest
+    # candidate is small enough to balance: stopping on count alone left
+    # one 11-of-15 GF subtree on a single chip at irregular3d:32
+    # (balance_efficiency 0.16, evidence/scaling_projection.md)
+    total_f = sum(sub_f[s] for s in roots)
+    cap_f = total_f / target if target else 0.0
+    iters = 0
+    while heap and iters < 50 * target and (
+            len(heap) + len(kept) < target or -heap[0][0] > cap_f):
+        iters += 1
         negf, s = heapq.heappop(heap)
         if not children[s]:
             kept.append(s)           # unsplittable leaf subtree

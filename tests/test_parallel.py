@@ -365,9 +365,12 @@ def test_partition_report_invariants():
     assert widetot > 0 and 0 < sum(rep["wide_flops"]) <= widetot
     assert np.count_nonzero(rep["wide_flops"]) > 1
     # accounting closes: every flop is local, wide, or replicated-narrow
+    # narrow-top compute is DEALT (round 4): the report carries its true
+    # flop total and a per-chip padded wall model >= the ideal share
     narrow = sum(f for s, f in enumerate(fl)
                  if lay.owner[s] < 0 and not lay.wide[s])
-    assert rep["replicated_top_flops"] == narrow
+    assert rep["top_true_flops"] == narrow
+    assert rep["top_flops_per_chip"] >= narrow // rep["ndev"]
     assert owned + widetot + narrow == plan.true_flops()
     assert 0 < rep["balance_efficiency"] <= 1.0
     assert rep["store_bytes_per_chip"] == (
