@@ -651,6 +651,27 @@ def _bucket_sig(b) -> tuple:
     return (b.w_pad, b.mb_pad, len(b.sn_ids), G)
 
 
+def _dchol_split(levels):
+    """Per level, the buckets whose diagonal-block cholesky batches into
+    one level-wide fused-diag step (kind "dchol"), or None when the level
+    keeps per-bucket chol.  Eligible: single-segment tiers (w_pad <=
+    LANE, which also excludes the dense-instore path).  A level batches
+    when >= 2 buckets are eligible — one fused loop of ~wmax iterations
+    replaces per-bucket XLA cholesky calls whose cost is LINEAR in batch
+    (scripts_cholcost.py: ~0.112 us per panel-column).
+
+    Shared by build_runs (run emission) and factorize (minpiv order):
+    a dchol level emits the eligible buckets' minpivs FIRST (in bucket
+    order), then the ineligible buckets' at their own steps; eligible
+    buckets with mb_pad == 0 emit no step at all (fully factored by the
+    level step)."""
+    out = []
+    for lev in levels:
+        elig = [b for b in lev if b.w_pad <= LANE]
+        out.append(elig if len(elig) >= 2 else None)
+    return out
+
+
 def _np_fields(b) -> dict:
     return dict(
         row0=b.row0, w=b.w, mb=b.mb, col_idx=b.col_idx,
@@ -730,13 +751,26 @@ def build_runs(plan: FactorizePlan):
         return bool(np.all(_ss[sns] == b.w_pad + b.mb_pad)
                     and np.all(_bo[sns] == b.w_pad))
 
-    steps = [b for lev in plan.levels for b in lev]
+    # interleave per-level dchol pseudo-steps (batched diagonal-block
+    # cholesky; see _dchol_split) with the bucket steps; eligible buckets
+    # run trsm-only (their L11 is already in the store), and eligible
+    # mb_pad==0 buckets drop out entirely
+    steps = []
+    for lev, elig in zip(plan.levels, _dchol_split(plan.levels)):
+        eset = set(map(id, elig)) if elig else set()
+        if elig:
+            steps.append(("dchol", elig))
+        for b in lev:
+            trsm = id(b) in eset
+            if trsm and b.mb_pad == 0:
+                continue
+            steps.append(("step", b, trsm))
     chunks = {f: [] for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     offs = {f: 0 for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     derived_bytes = 4 * sum(
         b.batch * ((b.w_pad + b.mb_pad) * max(1, b.w_pad // LANE)
                    + (b.g_pad * LANE if b.mb_pad else 0))
-        for b in steps
+        for lev in plan.levels for b in lev
     )
     derive = derived_bytes <= _DERIVED_CAP
     meta = []
@@ -757,16 +791,48 @@ def build_runs(plan: FactorizePlan):
     rtile = plan.run_tile
     dummy_row = plan.R_L - rtile
     itemsize = plan.dtype.itemsize
+
+    def _emit_dchol(elig):
+        """One level's batched diagonal-block cholesky run: field
+        ``col_idx`` carries the [SB, wmax] diag-row grid (r0 + i for
+        i < w, OOB sentinel past w — identical in both store layouts),
+        ``w`` the true widths."""
+        wmax = max(b.w_pad for b in elig)
+        grids, ws = [], []
+        for b in elig:
+            r0 = b.row0.astype(np.int64)[:, None]
+            wb = b.w.astype(np.int64)[:, None]
+            ii = np.arange(wmax, dtype=np.int64)[None, :]
+            grids.append(np.where(ii < wb, r0 + ii, plan.R_L))
+            ws.append(b.w.astype(np.int64))
+        grid = np.concatenate(grids, axis=0)
+        wcat = np.concatenate(ws)
+        spec = {f: None for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
+        for f, arr in (("col_idx", grid), ("w", wcat)):
+            chunks[f].append(np.ascontiguousarray(arr, np.int32).ravel())
+            spec[f] = (offs[f], arr.shape)
+            offs[f] += arr.size
+        meta.append(("dchol", tuple(sorted(spec.items())), (), None, (),
+                     False, False, False))
+
     i = 0
     while i < len(steps):
+        if steps[i][0] == "dchol":
+            _emit_dchol(steps[i][1])
+            i += 1
+            continue
         # addressing mode is static per compiled step body, so hybrid
-        # plans must not mix aligned and compact buckets in one scan
-        sig = (_bucket_sig(steps[i]), _b_aligned(steps[i]))
+        # plans must not mix aligned and compact buckets in one scan;
+        # the trsm-only flag (dchol levels) is part of the body too
+        def skey(e):
+            return (_bucket_sig(e[1]), _b_aligned(e[1]), e[2])
+        sig = skey(steps[i])
         j = i + 1
-        while (j < len(steps)
-               and (_bucket_sig(steps[j]), _b_aligned(steps[j])) == sig):
+        while (j < len(steps) and steps[j][0] == "step"
+               and skey(steps[j]) == sig):
             j += 1
-        group = steps[i:j]
+        trsm_mode = steps[i][2]
+        group = [e[1] for e in steps[i:j]]
         kind = "scan" if j - i >= 2 else "single"
         utile_g = tuple(
             max(b.utile_g[t] for b in group)
@@ -825,7 +891,7 @@ def build_runs(plan: FactorizePlan):
         for f in _RUN_FIELDS + _DERIVED_FIELDS:
             spec.setdefault(f, None)
         meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks,
-                     slab, galigned))
+                     slab, galigned, trsm_mode))
         i = j
     flat = {}
     for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS:
@@ -853,10 +919,11 @@ def build_runs(plan: FactorizePlan):
 def unpack_run(flat, rmeta):
     """Rebuild one run's _BucketArrays from the flat buffers via static
     slices (free at compile time).
-    Returns (kind, bucket, utile_g, wm, rchunks, slab, aligned)."""
+    Returns (kind, bucket, utile_g, wm, rchunks, slab, aligned, trsm)."""
     kind, spec, utile_g, wm, rchunks, *rest = rmeta
     slab = rest[0] if rest else False
     baligned = rest[1] if len(rest) > 1 else False
+    trsm = rest[2] if len(rest) > 2 else False
     fields = {}
     for f, fs in spec:
         if fs is None:
@@ -865,7 +932,14 @@ def unpack_run(flat, rmeta):
             off, shape = fs
             size = int(np.prod(shape))
             fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
-    return kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab, baligned
+    if kind == "dchol":
+        # minimal shape stand-ins so the _BucketArrays properties resolve
+        sb = fields["w"].shape[0]
+        fields["row0"] = jnp.zeros((sb,), jnp.int32)
+        fields["mb"] = jnp.zeros((sb,), jnp.int32)
+        fields["below_idx"] = jnp.zeros((sb, 0), jnp.int32)
+    return (kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab,
+            baligned, trsm)
 
 
 #: single-chip HBM budget guard (bytes).  device_arrays raises a clear
@@ -1407,6 +1481,42 @@ def _panel_factor_fused(P: jax.Array, w_pad: int):
     return A, minpiv
 
 
+def _dchol_step(Lx, b, dtype):
+    """Level-batched diagonal-block cholesky (run kind "dchol"): gather
+    every eligible bucket's diag block at the level's wmax tier, run ONE
+    fused-diag chol (cost ~wmax iterations, batch-independent), write
+    tril(L11) back.  The level's bucket steps then run trsm-only.
+    Safe at level start: Schur updates only come from strictly earlier
+    levels (CLAUDE.md invariants)."""
+    grid = b.col_idx                   # [SB, wmax] diag-row store indices
+    wmax = grid.shape[1]
+    P = jnp.take(Lx, grid, axis=0, mode="fill", fill_value=0)
+    if wmax < LANE:
+        P = P[:, :, :wmax]
+    P11 = jnp.tril(P) + jnp.swapaxes(jnp.tril(P, -1), -1, -2)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, wmax, 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wmax), 2)
+    ident = (ii >= b.w[:, None, None]) & (jj == ii)
+    P11 = P11 + ident.astype(P11.dtype)
+    L11, minpiv = _diag_chol_fused(P11, wmax)
+    if wmax < LANE:
+        L11 = jnp.pad(L11, ((0, 0), (0, 0), (0, LANE - wmax)))
+    return Lx.at[grid].set(L11, mode="drop"), minpiv
+
+
+def _panel_trsm_only(P, w_pad: int):
+    """Panel completion when the diag block is already factored in the
+    store (dchol levels): L11 = tril(panel top), L21 via one TRSM."""
+    L11 = jnp.tril(P[:, :w_pad, :])
+    if P.shape[1] > w_pad:
+        L21 = jax.lax.linalg.triangular_solve(
+            L11, P[:, w_pad:, :], left_side=False, lower=True,
+            transpose_a=True,
+        )
+        return jnp.concatenate([L11, L21], axis=1)
+    return L11
+
+
 def _panel_factor(P, w_pad, backend: str):
     if backend == "pallas":
         # The Pallas panel kernel fails remote Mosaic compilation on every
@@ -1468,10 +1578,14 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
     Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
 
-    def step(Lx, b, utile_g, rchunks, slab, aligned):
+    def step(Lx, b, utile_g, rchunks, slab, aligned, trsm):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
-        L, minpiv = _panel_factor(P, w_pad, backend)
+        if trsm:
+            L = _panel_trsm_only(P, w_pad)
+            minpiv = jnp.zeros((0,), P.dtype)
+        else:
+            L, minpiv = _panel_factor(P, w_pad, backend)
         Lx = scatter_panels(Lx, b, L, R_L, aligned=aligned, slab=slab)
         if mb_pad:
             # Schur updates target strictly later levels (assembly-tree
@@ -1481,17 +1595,22 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
         return Lx, minpiv
 
     minpivs = []
-    for kind, rb, utile_g, wm, rchunks, slab, al in iter_runs(arrays):
-        if kind == "single" and wm is not None and rb.w_pad >= DENSE_INSTORE:
+    for kind, rb, utile_g, wm, rchunks, slab, al, tr in iter_runs(arrays):
+        if kind == "dchol":
+            Lx, mp = _dchol_step(Lx, rb, dtype)
+            minpivs.append(mp)
+        elif (kind == "single" and wm is not None
+                and rb.w_pad >= DENSE_INSTORE):
             Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
                                          extend, rchunks, rtile, al)
             minpivs.append(mp)
         elif kind == "single":
-            Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al)
+            Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al, tr)
             minpivs.append(mp)
         else:
             Lx, mps = jax.lax.scan(
-                lambda c, x: step(c, x, utile_g, rchunks, slab, al), Lx, rb
+                lambda c, x: step(c, x, utile_g, rchunks, slab, al, tr),
+                Lx, rb
             )
             minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -1546,10 +1665,14 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
                precision="highest", extend="scatter"):
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
 
-    def step(Lx, b, utile_g, rchunks, slab, aligned):
+    def step(Lx, b, utile_g, rchunks, slab, aligned, trsm):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
-        L, minpiv = _panel_factor(P, w_pad, backend)
+        if trsm:
+            L = _panel_trsm_only(P, w_pad)
+            minpiv = jnp.zeros((0,), P.dtype)
+        else:
+            L, minpiv = _panel_factor(P, w_pad, backend)
         Lx = scatter_panels(Lx, b, L, R_L, aligned=aligned, slab=slab)
         if mb_pad:
             Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype,
@@ -1559,19 +1682,22 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
     minpivs = []
     with jax.default_matmul_precision(precision):
         for rmeta in arrays["meta"].value[lo:hi]:
-            kind, rb, utile_g, wm, rchunks, slab, al = unpack_run(
+            kind, rb, utile_g, wm, rchunks, slab, al, tr = unpack_run(
                 arrays["flat"], rmeta)
-            if (kind == "single" and wm is not None
+            if kind == "dchol":
+                Lx, mp = _dchol_step(Lx, rb, dtype)
+                minpivs.append(mp)
+            elif (kind == "single" and wm is not None
                     and rb.w_pad >= DENSE_INSTORE):
                 Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
                                              extend, rchunks, rtile, al)
                 minpivs.append(mp)
             elif kind == "single":
-                Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al)
+                Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al, tr)
                 minpivs.append(mp)
             else:
                 Lx, mps = jax.lax.scan(
-                    lambda c, x: step(c, x, utile_g, rchunks, slab, al),
+                    lambda c, x: step(c, x, utile_g, rchunks, slab, al, tr),
                     Lx, rb
                 )
                 minpivs.append(mps.reshape(-1))
@@ -1813,6 +1939,11 @@ def factorize(
     if extend == "auto":
         extend = default_extend()
     dtype = jnp.dtype(plan.dtype)
+    if dtype == jnp.float64 and extend == "runs_pallas":
+        # fp64 is the tolerance-matching validation mode (slow VPU f64);
+        # the DMA kernels are fp32-only (x64 index promotion trips
+        # Mosaic's i32 memref slices) — use the kernel-semantics XLA path
+        extend = "runs_xla"
     if len(arrays["meta"].value) > CHUNK_RUNS:
         Lx, minpiv, d = _factorize_chunked(
             arrays, Ax, plan.R_L, dtype, backend, scale, precision, extend
@@ -1825,9 +1956,16 @@ def factorize(
     if check:
         mp = np.asarray(minpiv)
         if mp.size and not (mp > 0).all():
-            sn_order = np.concatenate(
-                [b.sn_ids for lev in plan.levels for b in lev]
-            )
+            # minpiv emission order: per level, dchol'd buckets first (in
+            # bucket order, from the level step), then the rest at their
+            # own steps (_dchol_split is the shared source of truth)
+            parts = []
+            for lev, elig in zip(plan.levels, _dchol_split(plan.levels)):
+                eset = set(map(id, elig)) if elig else set()
+                if elig:
+                    parts += [b.sn_ids for b in elig]
+                parts += [b.sn_ids for b in lev if id(b) not in eset]
+            sn_order = np.concatenate(parts)
             bad = int(np.argmax(mp <= 0))
             s = int(sn_order[bad])
             raise NotPositiveDefiniteError(
@@ -1864,8 +2002,10 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
         )
 
     out = []
-    for kind, rb, _ug, _wm, _rc, _slab, al in iter_runs(arrays):
-        if kind == "single":
+    for kind, rb, _ug, _wm, _rc, _slab, al, _t in iter_runs(arrays):
+        if kind == "dchol":
+            out.append(None)    # placeholder keeps run alignment
+        elif kind == "single":
             out.append(one(rb, al))
         else:
             out.append(jax.lax.scan(lambda c, b: (c, one(b, al)), 0, rb)[1])
