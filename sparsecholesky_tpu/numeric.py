@@ -652,23 +652,33 @@ def _bucket_sig(b) -> tuple:
 
 
 def _dchol_split(levels):
-    """Per level, the buckets whose diagonal-block cholesky batches into
-    one level-wide fused-diag step (kind "dchol"), or None when the level
-    keeps per-bucket chol.  Eligible: single-segment tiers (w_pad <=
-    LANE, which also excludes the dense-instore path).  A level batches
-    when >= 2 buckets are eligible — one fused loop of ~wmax iterations
-    replaces per-bucket XLA cholesky calls whose cost is LINEAR in batch
-    (scripts_cholcost.py: ~0.112 us per panel-column).
+    """Per level, groups of SAME-w_pad buckets whose diagonal-block
+    cholesky batches into one per-tier fused-diag step (kind "dchol").
+    Eligible: single-segment tiers (w_pad <= LANE, which also excludes
+    the dense-instore path), >= 2 buckets of the tier in the level, and
+    the fused loop cheaper than the summed XLA chol (_use_fused_diag at
+    the group's total batch).
+
+    Grouping is per (level, w_pad) tier and NOT level-wide: the fused
+    rank-1 loop touches the whole [SB, w, w] array every column, so
+    padding w up to a level-wide wmax multiplies its VPU traffic
+    (wmax/w)^3 — measured as a 145 ms datapath regression on
+    poisson3d:48 before this split was tiered.
 
     Shared by build_runs (run emission) and factorize (minpiv order):
-    a dchol level emits the eligible buckets' minpivs FIRST (in bucket
-    order), then the ineligible buckets' at their own steps; eligible
-    buckets with mb_pad == 0 emit no step at all (fully factored by the
-    level step)."""
+    each group emits its buckets' minpivs at the level start (groups in
+    first-appearance order), then the remaining buckets' at their own
+    steps; grouped buckets with mb_pad == 0 emit no step at all."""
     out = []
     for lev in levels:
-        elig = [b for b in lev if b.w_pad <= LANE]
-        out.append(elig if len(elig) >= 2 else None)
+        by_w: dict = {}
+        for b in lev:
+            if b.w_pad <= LANE:
+                by_w.setdefault(b.w_pad, []).append(b)
+        groups = [g for g in by_w.values()
+                  if len(g) >= 2
+                  and _use_fused_diag(sum(b.batch for b in g), g[0].w_pad)]
+        out.append(groups or None)
     return out
 
 
@@ -756,10 +766,12 @@ def build_runs(plan: FactorizePlan):
     # run trsm-only (their L11 is already in the store), and eligible
     # mb_pad==0 buckets drop out entirely
     steps = []
-    for lev, elig in zip(plan.levels, _dchol_split(plan.levels)):
-        eset = set(map(id, elig)) if elig else set()
-        if elig:
-            steps.append(("dchol", elig))
+    for lev, groups in zip(plan.levels, _dchol_split(plan.levels)):
+        eset = set()
+        if groups:
+            for g in groups:
+                steps.append(("dchol", g))
+                eset.update(map(id, g))
         for b in lev:
             trsm = id(b) in eset
             if trsm and b.mb_pad == 0:
@@ -1960,10 +1972,12 @@ def factorize(
             # bucket order, from the level step), then the rest at their
             # own steps (_dchol_split is the shared source of truth)
             parts = []
-            for lev, elig in zip(plan.levels, _dchol_split(plan.levels)):
-                eset = set(map(id, elig)) if elig else set()
-                if elig:
-                    parts += [b.sn_ids for b in elig]
+            for lev, groups in zip(plan.levels, _dchol_split(plan.levels)):
+                eset = set()
+                if groups:
+                    for g in groups:
+                        parts += [b.sn_ids for b in g]
+                        eset.update(map(id, g))
                 parts += [b.sn_ids for b in lev if id(b) not in eset]
             sn_order = np.concatenate(parts)
             bad = int(np.argmax(mp <= 0))
