@@ -173,19 +173,23 @@ def _chunk_mode(nw: int, nrg: int, T: int) -> str:
     return "region" if reg < win else "interleave"
 
 
-# gblock cost model (v5e, scripts_vmemwin_bench.py round 3): per-window
-# VMEM masked subtract with the manual 2x unroll, per-C-block DMA issue,
-# and the C-block payload at ~HBM bandwidth (0.64 ns per 512 B row).
-_GBLOCK_WIN_NS = 50
-_GBLOCK_BLK_NS = 170
-_GBLOCK_ROW_NS = 0.64
+# gblock cost model (v5e; round-4 refit for the NRB=4 read-prefetched
+# kernel): the scalar-core issue chain (windows + block waits + region
+# issues) overlaps the DMA payload stream, so cost = max(scalar, payload)
+# instead of their sum.  Per-window VMEM masked subtract ~40 ns (manual
+# 4x unroll), per-C-block wait+issue ~130 ns, per-region issue ~250 ns;
+# payload at ~0.7 ns per 512 B row stream (HBM ~730 GB/s).
+_GBLOCK_WIN_NS = 40
+_GBLOCK_BLK_NS = 130
+_GBLOCK_REG_NS = 250
+_GBLOCK_ROW_NS = 0.7
 
 #: candidate C-block row counts (static DMA sizes; the planner picks the
 #: cheapest per chunk).  VMEM cost is NCB * CBLK * 512 B.
 _GBLOCK_CBLKS = (128, 256, 512)
 
-#: candidate gblock store-region row counts (static; double-buffered)
-_GBLOCK_RBS = (256, 512, 1024)
+#: candidate gblock store-region row counts (static; NRB-deep ring)
+_GBLOCK_RBS = (128, 256, 512, 1024)
 
 
 def _anchored_regions(ws_sorted, T: int, rb: int, row_cap: int):
@@ -232,9 +236,10 @@ def _gblock_stats(ws, wc, gd, T: int, cblk: int, rb: int, row_cap: int):
 
 
 def _gblock_cost(nw: int, nrg: int, nb: int, cblk: int, rb: int) -> float:
-    return (nrg * (300 + 2 * _GBLOCK_ROW_NS * rb)
-            + nb * (_GBLOCK_BLK_NS + _GBLOCK_ROW_NS * cblk)
-            + nw * _GBLOCK_WIN_NS)
+    scalar = (nrg * _GBLOCK_REG_NS + nb * _GBLOCK_BLK_NS
+              + nw * _GBLOCK_WIN_NS)
+    payload = _GBLOCK_ROW_NS * (nrg * 2 * rb + nb * cblk)
+    return max(scalar, payload)
 
 
 def _chunk_windows(b, utile_g, itemsize: int, T: int, with_gid=False):
@@ -651,35 +656,14 @@ def _bucket_sig(b) -> tuple:
     return (b.w_pad, b.mb_pad, len(b.sn_ids), G)
 
 
-def _dchol_split(levels):
-    """Per level, groups of SAME-w_pad buckets whose diagonal-block
-    cholesky batches into one per-tier fused-diag step (kind "dchol").
-    Eligible: single-segment tiers (w_pad <= LANE, which also excludes
-    the dense-instore path), >= 2 buckets of the tier in the level, and
-    the fused loop cheaper than the summed XLA chol (_use_fused_diag at
-    the group's total batch).
-
-    Grouping is per (level, w_pad) tier and NOT level-wide: the fused
-    rank-1 loop touches the whole [SB, w, w] array every column, so
-    padding w up to a level-wide wmax multiplies its VPU traffic
-    (wmax/w)^3 — measured as a 145 ms datapath regression on
-    poisson3d:48 before this split was tiered.
-
-    Shared by build_runs (run emission) and factorize (minpiv order):
-    each group emits its buckets' minpivs at the level start (groups in
-    first-appearance order), then the remaining buckets' at their own
-    steps; grouped buckets with mb_pad == 0 emit no step at all."""
-    out = []
-    for lev in levels:
-        by_w: dict = {}
-        for b in lev:
-            if b.w_pad <= LANE:
-                by_w.setdefault(b.w_pad, []).append(b)
-        groups = [g for g in by_w.values()
-                  if len(g) >= 2
-                  and _use_fused_diag(sum(b.batch for b in g), g[0].w_pad)]
-        out.append(groups or None)
-    return out
+# FALSIFIED (round 4, do not retry): level- or tier-batched "dchol"
+# runs — one fused-diag chol per (level[, w-tier]) group writing L11
+# into the store, with trsm-only bucket steps.  Measured on poisson3d:48
+# they LOSE to the per-bucket hybrid (_use_fused_diag inside
+# _panel_factor_xla): level-wide at wmax: +145 ms (the rank-1 loop's
+# VPU traffic scales (wmax/w)^3); per-tier w<=128: 104.2 vs 92.5 ms;
+# per-tier w<=32: 97.6 vs 92.5 ms.  The extra gather/scatter + glue of
+# a separate diag pass exceeds what batching the chol saves.
 
 
 def _np_fields(b) -> dict:
@@ -761,22 +745,7 @@ def build_runs(plan: FactorizePlan):
         return bool(np.all(_ss[sns] == b.w_pad + b.mb_pad)
                     and np.all(_bo[sns] == b.w_pad))
 
-    # interleave per-level dchol pseudo-steps (batched diagonal-block
-    # cholesky; see _dchol_split) with the bucket steps; eligible buckets
-    # run trsm-only (their L11 is already in the store), and eligible
-    # mb_pad==0 buckets drop out entirely
-    steps = []
-    for lev, groups in zip(plan.levels, _dchol_split(plan.levels)):
-        eset = set()
-        if groups:
-            for g in groups:
-                steps.append(("dchol", g))
-                eset.update(map(id, g))
-        for b in lev:
-            trsm = id(b) in eset
-            if trsm and b.mb_pad == 0:
-                continue
-            steps.append(("step", b, trsm))
+    steps = [b for lev in plan.levels for b in lev]
     chunks = {f: [] for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     offs = {f: 0 for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     derived_bytes = 4 * sum(
@@ -803,48 +772,16 @@ def build_runs(plan: FactorizePlan):
     rtile = plan.run_tile
     dummy_row = plan.R_L - rtile
     itemsize = plan.dtype.itemsize
-
-    def _emit_dchol(elig):
-        """One level's batched diagonal-block cholesky run: field
-        ``col_idx`` carries the [SB, wmax] diag-row grid (r0 + i for
-        i < w, OOB sentinel past w — identical in both store layouts),
-        ``w`` the true widths."""
-        wmax = max(b.w_pad for b in elig)
-        grids, ws = [], []
-        for b in elig:
-            r0 = b.row0.astype(np.int64)[:, None]
-            wb = b.w.astype(np.int64)[:, None]
-            ii = np.arange(wmax, dtype=np.int64)[None, :]
-            grids.append(np.where(ii < wb, r0 + ii, plan.R_L))
-            ws.append(b.w.astype(np.int64))
-        grid = np.concatenate(grids, axis=0)
-        wcat = np.concatenate(ws)
-        spec = {f: None for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
-        for f, arr in (("col_idx", grid), ("w", wcat)):
-            chunks[f].append(np.ascontiguousarray(arr, np.int32).ravel())
-            spec[f] = (offs[f], arr.shape)
-            offs[f] += arr.size
-        meta.append(("dchol", tuple(sorted(spec.items())), (), None, (),
-                     False, False, False))
-
     i = 0
     while i < len(steps):
-        if steps[i][0] == "dchol":
-            _emit_dchol(steps[i][1])
-            i += 1
-            continue
         # addressing mode is static per compiled step body, so hybrid
-        # plans must not mix aligned and compact buckets in one scan;
-        # the trsm-only flag (dchol levels) is part of the body too
-        def skey(e):
-            return (_bucket_sig(e[1]), _b_aligned(e[1]), e[2])
-        sig = skey(steps[i])
+        # plans must not mix aligned and compact buckets in one scan
+        sig = (_bucket_sig(steps[i]), _b_aligned(steps[i]))
         j = i + 1
-        while (j < len(steps) and steps[j][0] == "step"
-               and skey(steps[j]) == sig):
+        while (j < len(steps)
+               and (_bucket_sig(steps[j]), _b_aligned(steps[j])) == sig):
             j += 1
-        trsm_mode = steps[i][2]
-        group = [e[1] for e in steps[i:j]]
+        group = steps[i:j]
         kind = "scan" if j - i >= 2 else "single"
         utile_g = tuple(
             max(b.utile_g[t] for b in group)
@@ -903,7 +840,7 @@ def build_runs(plan: FactorizePlan):
         for f in _RUN_FIELDS + _DERIVED_FIELDS:
             spec.setdefault(f, None)
         meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks,
-                     slab, galigned, trsm_mode))
+                     slab, galigned))
         i = j
     flat = {}
     for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS:
@@ -931,11 +868,10 @@ def build_runs(plan: FactorizePlan):
 def unpack_run(flat, rmeta):
     """Rebuild one run's _BucketArrays from the flat buffers via static
     slices (free at compile time).
-    Returns (kind, bucket, utile_g, wm, rchunks, slab, aligned, trsm)."""
+    Returns (kind, bucket, utile_g, wm, rchunks, slab, aligned)."""
     kind, spec, utile_g, wm, rchunks, *rest = rmeta
     slab = rest[0] if rest else False
     baligned = rest[1] if len(rest) > 1 else False
-    trsm = rest[2] if len(rest) > 2 else False
     fields = {}
     for f, fs in spec:
         if fs is None:
@@ -944,14 +880,7 @@ def unpack_run(flat, rmeta):
             off, shape = fs
             size = int(np.prod(shape))
             fields[f] = jax.lax.slice(flat[f], (off,), (off + size,)).reshape(shape)
-    if kind == "dchol":
-        # minimal shape stand-ins so the _BucketArrays properties resolve
-        sb = fields["w"].shape[0]
-        fields["row0"] = jnp.zeros((sb,), jnp.int32)
-        fields["mb"] = jnp.zeros((sb,), jnp.int32)
-        fields["below_idx"] = jnp.zeros((sb, 0), jnp.int32)
-    return (kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab,
-            baligned, trsm)
+    return kind, _BucketArrays(**fields), utile_g, wm, rchunks, slab, baligned
 
 
 #: single-chip HBM budget guard (bytes).  device_arrays raises a clear
@@ -1493,42 +1422,6 @@ def _panel_factor_fused(P: jax.Array, w_pad: int):
     return A, minpiv
 
 
-def _dchol_step(Lx, b, dtype):
-    """Level-batched diagonal-block cholesky (run kind "dchol"): gather
-    every eligible bucket's diag block at the level's wmax tier, run ONE
-    fused-diag chol (cost ~wmax iterations, batch-independent), write
-    tril(L11) back.  The level's bucket steps then run trsm-only.
-    Safe at level start: Schur updates only come from strictly earlier
-    levels (CLAUDE.md invariants)."""
-    grid = b.col_idx                   # [SB, wmax] diag-row store indices
-    wmax = grid.shape[1]
-    P = jnp.take(Lx, grid, axis=0, mode="fill", fill_value=0)
-    if wmax < LANE:
-        P = P[:, :, :wmax]
-    P11 = jnp.tril(P) + jnp.swapaxes(jnp.tril(P, -1), -1, -2)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (1, wmax, 1), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wmax), 2)
-    ident = (ii >= b.w[:, None, None]) & (jj == ii)
-    P11 = P11 + ident.astype(P11.dtype)
-    L11, minpiv = _diag_chol_fused(P11, wmax)
-    if wmax < LANE:
-        L11 = jnp.pad(L11, ((0, 0), (0, 0), (0, LANE - wmax)))
-    return Lx.at[grid].set(L11, mode="drop"), minpiv
-
-
-def _panel_trsm_only(P, w_pad: int):
-    """Panel completion when the diag block is already factored in the
-    store (dchol levels): L11 = tril(panel top), L21 via one TRSM."""
-    L11 = jnp.tril(P[:, :w_pad, :])
-    if P.shape[1] > w_pad:
-        L21 = jax.lax.linalg.triangular_solve(
-            L11, P[:, w_pad:, :], left_side=False, lower=True,
-            transpose_a=True,
-        )
-        return jnp.concatenate([L11, L21], axis=1)
-    return L11
-
-
 def _panel_factor(P, w_pad, backend: str):
     if backend == "pallas":
         # The Pallas panel kernel fails remote Mosaic compilation on every
@@ -1590,14 +1483,10 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
     Lx, d = _initial_values(arrays, Ax, R_L=R_L, dtype=dtype, scale=scale)
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
 
-    def step(Lx, b, utile_g, rchunks, slab, aligned, trsm):
+    def step(Lx, b, utile_g, rchunks, slab, aligned):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
-        if trsm:
-            L = _panel_trsm_only(P, w_pad)
-            minpiv = jnp.zeros((0,), P.dtype)
-        else:
-            L, minpiv = _panel_factor(P, w_pad, backend)
+        L, minpiv = _panel_factor(P, w_pad, backend)
         Lx = scatter_panels(Lx, b, L, R_L, aligned=aligned, slab=slab)
         if mb_pad:
             # Schur updates target strictly later levels (assembly-tree
@@ -1607,22 +1496,17 @@ def _factorize_impl(arrays, Ax, *, R_L: int, dtype, backend: str,
         return Lx, minpiv
 
     minpivs = []
-    for kind, rb, utile_g, wm, rchunks, slab, al, tr in iter_runs(arrays):
-        if kind == "dchol":
-            Lx, mp = _dchol_step(Lx, rb, dtype)
-            minpivs.append(mp)
-        elif (kind == "single" and wm is not None
-                and rb.w_pad >= DENSE_INSTORE):
+    for kind, rb, utile_g, wm, rchunks, slab, al in iter_runs(arrays):
+        if kind == "single" and wm is not None and rb.w_pad >= DENSE_INSTORE:
             Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
                                          extend, rchunks, rtile, al)
             minpivs.append(mp)
         elif kind == "single":
-            Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al, tr)
+            Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al)
             minpivs.append(mp)
         else:
             Lx, mps = jax.lax.scan(
-                lambda c, x: step(c, x, utile_g, rchunks, slab, al, tr),
-                Lx, rb
+                lambda c, x: step(c, x, utile_g, rchunks, slab, al), Lx, rb
             )
             minpivs.append(mps.reshape(-1))
     minpiv_flat = (
@@ -1677,14 +1561,10 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
                precision="highest", extend="scatter"):
     rtile = arrays["rtile"].value if "rtile" in arrays else 16
 
-    def step(Lx, b, utile_g, rchunks, slab, aligned, trsm):
+    def step(Lx, b, utile_g, rchunks, slab, aligned):
         w_pad, mb_pad = b.w_pad, b.mb_pad
         P = gather_panels(Lx, b, R_L, aligned=aligned, slab=slab)
-        if trsm:
-            L = _panel_trsm_only(P, w_pad)
-            minpiv = jnp.zeros((0,), P.dtype)
-        else:
-            L, minpiv = _panel_factor(P, w_pad, backend)
+        L, minpiv = _panel_factor(P, w_pad, backend)
         Lx = scatter_panels(Lx, b, L, R_L, aligned=aligned, slab=slab)
         if mb_pad:
             Lx = apply_schur_update(Lx, b, L[:, w_pad:, :], R_L, dtype,
@@ -1694,22 +1574,19 @@ def _chunk_jit(arrays, Lx, R_L, dtype, backend, lo, hi,
     minpivs = []
     with jax.default_matmul_precision(precision):
         for rmeta in arrays["meta"].value[lo:hi]:
-            kind, rb, utile_g, wm, rchunks, slab, al, tr = unpack_run(
+            kind, rb, utile_g, wm, rchunks, slab, al = unpack_run(
                 arrays["flat"], rmeta)
-            if kind == "dchol":
-                Lx, mp = _dchol_step(Lx, rb, dtype)
-                minpivs.append(mp)
-            elif (kind == "single" and wm is not None
+            if (kind == "single" and wm is not None
                     and rb.w_pad >= DENSE_INSTORE):
                 Lx, mp = _dense_instore_step(Lx, rb, R_L, dtype, utile_g, wm,
                                              extend, rchunks, rtile, al)
                 minpivs.append(mp)
             elif kind == "single":
-                Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al, tr)
+                Lx, mp = step(Lx, rb, utile_g, rchunks, slab, al)
                 minpivs.append(mp)
             else:
                 Lx, mps = jax.lax.scan(
-                    lambda c, x: step(c, x, utile_g, rchunks, slab, al, tr),
+                    lambda c, x: step(c, x, utile_g, rchunks, slab, al),
                     Lx, rb
                 )
                 minpivs.append(mps.reshape(-1))
@@ -1968,18 +1845,9 @@ def factorize(
     if check:
         mp = np.asarray(minpiv)
         if mp.size and not (mp > 0).all():
-            # minpiv emission order: per level, dchol'd buckets first (in
-            # bucket order, from the level step), then the rest at their
-            # own steps (_dchol_split is the shared source of truth)
-            parts = []
-            for lev, groups in zip(plan.levels, _dchol_split(plan.levels)):
-                eset = set()
-                if groups:
-                    for g in groups:
-                        parts += [b.sn_ids for b in g]
-                        eset.update(map(id, g))
-                parts += [b.sn_ids for b in lev if id(b) not in eset]
-            sn_order = np.concatenate(parts)
+            sn_order = np.concatenate(
+                [b.sn_ids for lev in plan.levels for b in lev]
+            )
             bad = int(np.argmax(mp <= 0))
             s = int(sn_order[bad])
             raise NotPositiveDefiniteError(
@@ -2016,10 +1884,8 @@ def _diag_inverses_impl(arrays, Lx, *, R_L: int, dtype):
         )
 
     out = []
-    for kind, rb, _ug, _wm, _rc, _slab, al, _t in iter_runs(arrays):
-        if kind == "dchol":
-            out.append(None)    # placeholder keeps run alignment
-        elif kind == "single":
+    for kind, rb, _ug, _wm, _rc, _slab, al in iter_runs(arrays):
+        if kind == "single":
             out.append(one(rb, al))
         else:
             out.append(jax.lax.scan(lambda c, b: (c, one(b, al)), 0, rb)[1])

@@ -55,13 +55,11 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
     fstep, bstep = _make_steps(arrays, Lx, n, R_L, dtype)
 
     runs = [(k, rb, sl, al)
-            for k, rb, _u, _wm, _rc, sl, al, _t in iter_runs(arrays)]
+            for k, rb, _u, _wm, _rc, sl, al in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)
 
     # ---- forward: L y = b ----
     for (kind, rb, sl, al), Dinv in zip(runs, lv):
-        if kind == "dchol":
-            continue            # factorize-only step (no panel to sweep)
         if kind == "single":
             y = fstep(y, rb, Dinv, sl, al)
         else:
@@ -75,8 +73,6 @@ def _solve_impl(arrays, Lx, rhs, d, *, n: int, R_L: int, dtype, linv=None):
     # ---- backward: L^T x = y ----
     x = y
     for (kind, rb, sl, al), Dinv in zip(reversed(runs), list(reversed(lv))):
-        if kind == "dchol":
-            continue
         if kind == "single":
             x = bstep(x, rb, Dinv, sl, al)
         else:
@@ -121,7 +117,7 @@ def _sweep_chunk(arrays, Lx, vec, d, linv, n, R_L, dtype, lo, hi, forward,
 def _sweep_impl(arrays, Lx, vec, d, *, n, R_L, dtype, linv, forward, first):
     """One direction of the solve over the runs in ``arrays`` only."""
     runs = [(k, rb, sl, al)
-            for k, rb, _u, _wm, _rc, sl, al, _t in iter_runs(arrays)]
+            for k, rb, _u, _wm, _rc, sl, al in iter_runs(arrays)]
     lv = linv if linv is not None else [None] * len(runs)
     fstep, bstep = _make_steps(arrays, Lx, n, R_L, dtype)
     if first and forward:
@@ -132,8 +128,6 @@ def _sweep_impl(arrays, Lx, vec, d, *, n, R_L, dtype, linv, forward, first):
         vec = vec[arrays["perm"]] * d[:, None]
     if forward:
         for (kind, rb, sl, al), Dinv in zip(runs, lv):
-            if kind == "dchol":
-                continue
             if kind == "single":
                 vec = fstep(vec, rb, Dinv, sl, al)
             else:
@@ -147,8 +141,6 @@ def _sweep_impl(arrays, Lx, vec, d, *, n, R_L, dtype, linv, forward, first):
     else:
         for (kind, rb, sl, al), Dinv in zip(reversed(runs),
                                             list(reversed(lv))):
-            if kind == "dchol":
-                continue
             if kind == "single":
                 vec = bstep(vec, rb, Dinv, sl, al)
             else:
