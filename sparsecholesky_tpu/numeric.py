@@ -481,7 +481,9 @@ def pack_group_run_tables(group, utile_g, itemsize: int, rtile: int,
         # bin C rows by (cblk - rtile) and the kernel reads T rows past a
         # window's block offset (ADVICE r3: cblk == rtile silently div0s)
         cblks = tuple(c for c in _GBLOCK_CBLKS if c > rtile)
-        for rbc in (_GBLOCK_RBS if cblks else ()):
+        # anchored regions need rb >= 2*T (_anchored_regions invariant)
+        rbs = tuple(r for r in _GBLOCK_RBS if r >= 2 * rtile)
+        for rbc in (rbs if cblks else ()):
             astats = [_gblock_stats(w[0][ch][0], w[0][ch][1], w[0][ch][3],
                                     rtile, cblks[0], rbc, row_cap)
                       for w in allwins]
