@@ -234,6 +234,8 @@ def run_bench(
     if big:
         F.Lx = None
         F._linv = None
+        del Lx0     # the cold-build local must not pin the GiB-scale store
+        d0 = None
     Lx = None
     warm, _ = _numeric.factorize(F.plan, Ax, arrays=F.arrays, scale=scale,
                                  check=False)  # warm
