@@ -270,7 +270,7 @@ def _needs_equilibration(A: CSCMatrix) -> bool:
     d = np.where(has, np.abs(A.data[last]), 0.0)
     dmax = d.max() if A.n else 0.0
     dmin = d[d > 0].min() if (d > 0).any() else 0.0
-    return not dmin or dmax / dmin > _SCALE_AUTO_RATIO
+    return bool(not dmin or dmax / dmin > _SCALE_AUTO_RATIO)
 
 
 def analyze_and_plan(A: CSCMatrix, **kw) -> FactorizePlan:

@@ -221,3 +221,32 @@ def test_device_refined_multirhs(bus1138, bus_f32):
     assert X.shape == B.shape
     for j in range(3):
         assert _backward_error(Asp, X[:, j], B[:, j]) < 1e-11
+
+
+def test_scale_auto_resolution():
+    """scale="auto" equilibrates only when the diagonal dynamic range is
+    large (round 4): Poisson's constant diagonal skips the ~9 ms of
+    element-granular d-gathers; ill-scaled matrices still scale."""
+    import numpy as np
+    import sparsecholesky_tpu as sc
+    from sparsecholesky_tpu.api import _needs_equilibration, chol
+    from sparsecholesky_tpu.models import generators
+
+    A = generators.poisson2d(8)
+    assert not _needs_equilibration(A)
+    # ill-scaled SPD: diagonal spans 6 orders of magnitude
+    n = 16
+    d = np.logspace(0, 6, n)
+    Ai = list(range(n)) + list(range(n - 1))
+    Aj = list(range(n)) + list(range(1, n))
+    Ax = list(d) + [0.01] * (n - 1)
+    B = sc.triplet_to_csc(Ai, Aj, Ax, n)
+    assert _needs_equilibration(B)
+
+    F = chol(A, scale="auto")
+    assert F.scaled is False
+    x = F.solve(np.ones(A.n))
+    r = np.linalg.norm(A.to_scipy() @ x - 1.0)
+    assert r < 1e-5
+    F2 = chol(B, scale="auto")
+    assert F2.scaled is True
