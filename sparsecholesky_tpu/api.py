@@ -261,7 +261,10 @@ _SCALE_AUTO_RATIO = 100.0
 def _needs_equilibration(A: CSCMatrix) -> bool:
     """Host-side check of the diagonal dynamic range (the driver of fp32
     factorization error on the SuiteSparse bcsstk/bus families)."""
-    if not A.n:
+    if not A.n or not len(A.indices):
+        # zero stored entries: nothing to equilibrate, and indexing the
+        # empty indices array below would raise — let the factorization's
+        # own NPD handling report the structural failure
         return False
     # canonical upper CSC: a column's diagonal entry is its LAST entry
     last = np.maximum(A.indptr[1:] - 1, 0)

@@ -1359,7 +1359,15 @@ def _diag_chol_fused(P11: jax.Array, w_pad: int):
     L, minpiv = jax.lax.fori_loop(
         0, w_pad, body, (P11, jnp.full((B,), jnp.inf, P11.dtype))
     )
-    return jnp.tril(L), minpiv
+    return jnp.tril(L), _sqrt_pivot(minpiv)
+
+
+def _sqrt_pivot(minpiv: jax.Array) -> jax.Array:
+    """Normalize a raw elimination pivot A[j,j] to the L-diagonal scale
+    (signed sqrt) so NotPositiveDefiniteError.pivot has ONE unit no matter
+    which diag-chol path ran (jnp.linalg.cholesky reports min diag(L) =
+    sqrt of the pivot; the fused column loops see the raw pivot)."""
+    return jnp.sign(minpiv) * jnp.sqrt(jnp.abs(minpiv))
 
 
 def _panel_factor_xla(P: jax.Array, w_pad: int):
@@ -1421,7 +1429,7 @@ def _panel_factor_fused(P: jax.Array, w_pad: int):
     A, minpiv = jax.lax.fori_loop(
         0, w_pad, body, (P, jnp.full((B,), jnp.inf, P.dtype))
     )
-    return A, minpiv
+    return A, _sqrt_pivot(minpiv)
 
 
 def _panel_factor(P, w_pad, backend: str):

@@ -1288,7 +1288,6 @@ def partition_report(plan: FactorizePlan, layout: StoreLayout) -> dict:
         "wide_flops": widef.tolist(),
         "top_flops_per_chip": int(top_per_chip),
         "top_true_flops": int(top_true),
-        "replicated_top_flops": 0,
         "total_flops": total.tolist(),
         "store_bytes_per_chip": per_chip_bytes(layout, plan.dtype.itemsize),
         "replicated_store_rows": int(layout.R_top),

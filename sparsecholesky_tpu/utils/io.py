@@ -91,8 +91,15 @@ def save_npz(path: str, obj: dict) -> None:
 
 
 def bundled_matrix(name: str) -> str:
-    """Path to a matrix bundled with the reference (bcsstk01, 1138_bus)."""
-    base = os.environ.get("SPARSECHOL_DATA", "/root/reference/data")
+    """Path to a matrix vendored with this package (bcsstk01, 1138_bus).
+
+    The two public Harwell-Boeing files ship as package data under
+    ``sparsecholesky_tpu/data/`` (the reference bundles the same files,
+    /root/reference/data/*/*.mtx, loaded by src/main.cpp:344).
+    ``SPARSECHOL_DATA`` overrides the search root.
+    """
+    pkg_data = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+    base = os.environ.get("SPARSECHOL_DATA") or pkg_data
     path = os.path.join(base, name, f"{name}.mtx")
     if not os.path.exists(path):
         raise IngestionError(f"bundled matrix {name!r} not found at {path}")

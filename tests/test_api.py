@@ -135,6 +135,19 @@ def test_empty_matrix_rejected():
         chol(A0)
 
 
+def test_scale_auto_zero_entry_matrix():
+    """n > 0 but zero stored entries must not crash the scale="auto"
+    host probe (advisor r4): the failure belongs to the factorization's
+    own NPD/structural handling, not an IndexError in equilibration."""
+    from sparsecholesky_tpu.api import _needs_equilibration
+
+    A = sc.triplet_to_csc([], [], [], 3)
+    assert _needs_equilibration(A) is False
+    with pytest.raises(Exception) as ei:
+        chol(A, scale="auto")
+    assert not isinstance(ei.value, IndexError)
+
+
 # ---------------------------------------------------------------------------
 # On-device refinement (refine.py + ops/dfloat.py)
 
