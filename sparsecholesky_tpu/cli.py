@@ -139,7 +139,7 @@ def cmd_info(args):
         from .parallel import pstore
 
         plan = compile_plan(A, layout="compact")
-        lay = pstore.build_layout(plan, args.ndev, wide_nseg=2)
+        lay = pstore.build_layout(plan, args.ndev)
         print(json.dumps(pstore.partition_report(plan, lay), indent=2))
     return 0
 

@@ -76,7 +76,8 @@ class StoreLayout:
     replicated with identical addressing on every chip.  Wide top
     supernodes are distributed SEGMENT-CYCLIC: lane segment k of wide
     supernode s (an [m_s, 128] contiguous chunk, segment-major store)
-    lives only on chip (s + k) % ndev.  Updates that target a wide segment
+    lives only on chip (woff[s] + k) % ndev, with the per-supernode offset
+    chosen greedily for flop balance.  Updates that target a wide segment
     are written to a chip-local HALO copy of that segment and merged into
     the owner by an exchange (one psum over the touched-segment union)
     at the frontier and at each top wavefront level."""
@@ -94,9 +95,11 @@ class StoreLayout:
     halo_start: dict | None = None       # (c, s, k) -> halo-local row
     halo_span: tuple | None = None       # per chip (first_row, nrows)
     exch: tuple | None = None            # sorted touched (s, k) pairs
+    woff: np.ndarray | None = None       # [ns] cyclic offset per supernode
 
     def wide_owner(self, s: int, k: int) -> int:
-        return (s + k) % self.ndev
+        o = int(self.woff[s]) if self.woff is not None else s
+        return (o + k) % self.ndev
 
     def global_to_local(self, c: int):
         """Shift table: global store row -> chip-c local row per block."""
@@ -161,7 +164,17 @@ def _touched_wide_segments(plan, owner, wide, ndev):
 
 
 def build_layout(plan: FactorizePlan, ndev: int,
-                 wide_nseg: int | None = None) -> StoreLayout:
+                 wide_nseg: int | None = 1) -> StoreLayout:
+    """Partition the store over ``ndev`` chips.
+
+    ``wide_nseg=1`` (default): EVERY top supernode with >= 1 lane segment
+    distributes segment-cyclically — the scaling projection
+    (evidence/scaling_projection.md) shows it dominates wide_nseg=2 on
+    every config, since the replicated narrow-top region shrinks to the
+    supernodes with zero full segments.  Pass ``None`` to replicate the
+    whole top (no distributed wides), or a larger threshold to only
+    distribute the widest separators.
+    """
     if getattr(plan, "layout", "compact") != "compact":
         raise ValueError(
             "the partitioned/sharded store requires a compact-layout plan "
@@ -181,7 +194,42 @@ def build_layout(plan: FactorizePlan, ndev: int,
             off += int(nrows_of[s])
     R_top = off
 
-    # wide segments, cyclic by (s + k) % ndev, in (s, k) order per chip
+    # flop-aware cyclic offsets (round 5): segment k of wide supernode s
+    # lives on chip (woff[s] + k) % ndev.  The fixed round-2 offset
+    # woff[s] = s ignored per-segment flops, leaving the wide phase
+    # 0.75-balanced at irregular3d:32 / 8 dev; a greedy min-max placement
+    # over per-segment weights (node flops / nseg, on top of the subtree
+    # base loads) reaches 0.98 (evidence/scaling_projection.md round 5).
+    woff = np.arange(ns, dtype=np.int64) % max(ndev, 1)
+    if wide.any():
+        wf = plan.block_w.astype(np.float64)
+        mbf = plan.block_m.astype(np.float64) - wf
+        node_f = wf ** 3 / 3 + wf * wf * mbf + wf * mbf * mbf
+        load = np.zeros(ndev)
+        for s in range(ns):
+            if owner[s] >= 0:
+                load[owner[s]] += node_f[s]
+        witems = sorted(
+            ((node_f[s] / max(int(plan.block_nseg[s]), 1), int(s))
+             for s in np.flatnonzero(wide)),
+            reverse=True,
+        )
+        for pseg, s in witems:
+            nseg = max(int(plan.block_nseg[s]), 1)
+            ks = np.arange(nseg)
+            best_off, best_max = 0, np.inf
+            for off in range(ndev):
+                trial = load.copy()
+                np.add.at(trial, (off + ks) % ndev, pseg)
+                tm = trial.max()
+                if tm < best_max:
+                    best_off, best_max = off, tm
+            woff[s] = best_off
+            np.add.at(load, (best_off + ks) % ndev, pseg)
+
+    # wide segments, cyclic by (woff[s] + k) % ndev, in (s, k) order per
+    # chip (slot j of a chip's copies of s is always segment j*ndev + k0,
+    # so the k -> slot map k // ndev holds for any offset)
     wseg_start: dict = {}
     wslots: list[list] = [[] for _ in range(ndev)]
     wends = [R_top] * ndev
@@ -190,7 +238,7 @@ def build_layout(plan: FactorizePlan, ndev: int,
             continue
         m = int(plan.block_m[s])
         for k in range(int(plan.block_nseg[s])):
-            c = (s + k) % ndev
+            c = (int(woff[s]) + k) % ndev
             wseg_start[(s, k)] = wends[c]
             wslots[c].append((s, k))
             wends[c] += m
@@ -230,7 +278,7 @@ def build_layout(plan: FactorizePlan, ndev: int,
                        wseg_start=wseg_start,
                        wslots=tuple(tuple(w) for w in wslots),
                        halo_start=halo_start, halo_span=tuple(halo_span),
-                       exch=tuple(exch))
+                       exch=tuple(exch), woff=woff)
 
 
 def _remap_rows(plan, lay: StoreLayout, c: int, grows: np.ndarray
@@ -331,7 +379,7 @@ def _np32(a):
 
 def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
                            extend: str = "auto",
-                           wide_nseg: int | None = None):
+                           wide_nseg: int | None = 1):
     """Compile the partitioned-store device plan.
 
     Returns the arrays dict for ``factorize_partitioned`` plus the
@@ -471,7 +519,8 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
         return (int(s), int(plan.block_w[s]),
                 int(plan.block_m[s] - plan.block_w[s]), m, nseg, nsegc,
                 b.w_pad, b.mb_pad, spec, b.utile_g, rch[0], so,
-                int(plan.S.sn_ptr[s]))
+                int(plan.S.sn_ptr[s]),
+                int(lay.woff[s]) if lay.woff is not None else int(s))
 
     top_meta = []
     for lev in plan.levels:
@@ -530,7 +579,9 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
     m_t = plan.block_m[t]
     seg = np.where(is_w, rel // np.maximum(m_t, 1), 0)
     segrel = rel - seg * m_t
-    woc = (t + seg) % ndev
+    woffa = (lay.woff if lay.woff is not None
+             else np.arange(plan.ns, dtype=np.int64))
+    woc = (woffa[t] + seg) % ndev
     wbase = np.zeros(len(ecol), dtype=np.int64)
     wi = np.where(is_w)[0]
     for i in wi:
@@ -554,7 +605,7 @@ def shard_plan_partitioned(plan: FactorizePlan, ndev: int,
     xo = 0
     for (s, k) in lay.exch:
         m = int(plan.block_m[s])
-        oc = (s + k) % ndev
+        oc = lay.wide_owner(s, k)
         for c in range(ndev):
             h = lay.halo_start.get((c, s, k))
             if h is not None:
@@ -627,8 +678,8 @@ def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
     assembly-tree ancestors is computed PARTIALLY per chip (its own
     columns only; partial sums meet at the halo exchange) through the
     ordinary apply_schur_update on a zero-padded full-width L21."""
-    (s, w, mb, m, nseg, nsegc, w_pad, mb_pad, spec, utile_g, rchunks,
-     so, _sp0) = wm
+    (_s, w, mb, m, nseg, nsegc, w_pad, mb_pad, spec, utile_g, rchunks,
+     so, _sp0, o) = wm
     ss = jax.lax.slice(
         arrays["flat"]["row0"], (0, so), (1, so + 2 * nsegc)
     ).reshape(2, nsegc)
@@ -704,7 +755,7 @@ def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
     # updates are dataflow-independent of it, so XLA's latency-hiding
     # scheduler runs the k+1 collective concurrently with panel k's
     # trailing compute.
-    own0 = me == (s + 0) % ndev
+    own0 = me == (o + 0) % ndev
     cand, piv = candidate(0, read_seg(0))
     panel = jax.lax.psum(jnp.where(own0, cand, 0.0), axis)
     minpiv = jnp.minimum(
@@ -715,7 +766,7 @@ def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
         nxt = k + 1
         if nxt < nseg:
             jn = nxt // ndev
-            ownn = me == (s + nxt) % ndev
+            ownn = me == (o + nxt) % ndev
             # early-update the next panel's slot, factor, issue broadcast
             Sn = seg_update(k, panel, jn, read_seg(jn))
             Lx = write_seg(jn, Sn)
@@ -731,7 +782,7 @@ def _wide_step(Lx, delta, arrays, wm, *, R_local, dtype, axis, ndev,
             Lx = write_seg(j, seg_update(k, panel, j, read_seg(j)))
         if nxt < nseg:
             jn = nxt // ndev
-            ownn = me == (s + nxt) % ndev
+            ownn = me == (o + nxt) % ndev
             Lx = write_seg(jn, jnp.where(ownn, paneln[:m], read_seg(jn)))
             panel = paneln
     minpivs.append(minpiv[None])
@@ -850,7 +901,7 @@ def factorize_partitioned(plan: FactorizePlan, Ax, mesh: Mesh, *,
                           arrays=None, layout: StoreLayout | None = None,
                           scale: bool = False, check: bool = True,
                           extend: str = "auto",
-                          wide_nseg: int | None = None):
+                          wide_nseg: int | None = 1):
     """Distributed numeric factorization on the partitioned store.
 
     Returns (Lx_sharded [ndev, R_local, 128], layout, d).  Use
@@ -1003,8 +1054,8 @@ def _solve_steps(arrays, Lx, n, R_local, dtype):
 def _wide_unpack(arrays, wm, axis):
     """Shared wide-step context: segment-slot start rows + ids, my chip
     index, and the below-target solution indices."""
-    (s, w, mb, m, nseg, nsegc, w_pad, mb_pad, spec, _ug, _rc, so,
-     sp0) = wm
+    (_s, w, mb, m, nseg, nsegc, w_pad, mb_pad, spec, _ug, _rc, so,
+     sp0, o) = wm
     ss = jax.lax.slice(
         arrays["flat"]["row0"], (0, so), (1, so + 2 * nsegc)
     ).reshape(2, nsegc)
@@ -1013,7 +1064,7 @@ def _wide_unpack(arrays, wm, axis):
         bl = _unpack_chip(arrays["flat"], spec)
         bidx = bl.below_idx.reshape(-1)[:mb_pad]
     me = jax.lax.axis_index(axis)
-    return s, w, mb, m, nseg, sp0, ss[0], me, bidx
+    return o, w, mb, m, nseg, sp0, ss[0], me, bidx
 
 
 def _wide_fsolve(y, Lx, arrays, wm, *, axis, ndev, dtype, n):
@@ -1024,7 +1075,7 @@ def _wide_fsolve(y, Lx, arrays, wm, *, axis, ndev, dtype, n):
     rows of its columns); one masked psum broadcasts (z_k, update) and
     every chip applies it to its replicated y — the result is bitwise
     identical across chips, so no level-delta merge is involved."""
-    s, w, mb, m, nseg, sp0, segst, me, bidx = _wide_unpack(arrays, wm, axis)
+    o, w, mb, m, nseg, sp0, segst, me, bidx = _wide_unpack(arrays, wm, axis)
     nrhs = y.shape[1]
     M = max(m, nseg * LANE)
     cc = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -1037,7 +1088,7 @@ def _wide_fsolve(y, Lx, arrays, wm, *, axis, ndev, dtype, n):
 
     for k in range(nseg):
         j = k // ndev
-        own = me == (s + k) % ndev
+        own = me == (o + k) % ndev
         S = jax.lax.dynamic_slice(Lx, (segst[j], jnp.int32(0)), (m, LANE))
         Sp = jnp.pad(S, ((0, M - m), (0, 0))) if M > m else S
         wk = min(LANE, w - k * LANE)
@@ -1077,7 +1128,7 @@ def _wide_bsolve(x, Lx, arrays, wm, *, axis, ndev, dtype, n):
     L[r, k-cols]^T x[r] for every later row r — and segment k's owner
     holds ALL m rows of its columns, so the transposed-gather is local;
     segments run last-to-first, one masked psum broadcast each."""
-    s, w, mb, m, nseg, sp0, segst, me, bidx = _wide_unpack(arrays, wm, axis)
+    o, w, mb, m, nseg, sp0, segst, me, bidx = _wide_unpack(arrays, wm, axis)
     nrhs = x.shape[1]
     M = max(m, nseg * LANE)
     cc = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -1095,7 +1146,7 @@ def _wide_bsolve(x, Lx, arrays, wm, *, axis, ndev, dtype, n):
 
     for k in reversed(range(nseg)):
         j = k // ndev
-        own = me == (s + k) % ndev
+        own = me == (o + k) % ndev
         S = jax.lax.dynamic_slice(Lx, (segst[j], jnp.int32(0)), (m, LANE))
         Sp = jnp.pad(S, ((0, M - m), (0, 0))) if M > m else S
         wk = min(LANE, w - k * LANE)
