@@ -45,6 +45,37 @@ class CholeskyFactor:
     scaled: bool = False
     _linv: object = None  # lazy diagonal-block inverses (solve fast path)
     _ell: object = None   # lazy device ELL of A (on-device refinement)
+    _yctx: object = None  # lazy store-row solve context (solve_store.py)
+
+    def _store_ctx(self):
+        """Lazy store-row-space solve context (Y/WP in [R_L, 128] row
+        space — the round-5 solve redesign).  False = ineligible (the
+        WP + Y stores would exceed the byte budget) or build failed."""
+        if self._yctx is None:
+            from . import solve_store as _ss
+
+            if not _ss.eligible(self.plan):
+                self._yctx = False
+            else:
+                try:
+                    self._yctx = _ss.build_context(
+                        self.plan, self.Lx, self.arrays)
+                except Exception:
+                    self._yctx = False
+        return self._yctx or None
+
+    def _solve_raw(self, rhs):
+        """One raw factor solve (no refinement): the store-row path when
+        eligible, else the legacy element-granular sweeps."""
+        ctx = self._store_ctx()
+        if ctx is not None:
+            from . import solve_store as _ss
+
+            return _ss.solve_rows(self.plan, rhs, ctx=ctx, d=self.d,
+                                  arrays=self.arrays)
+        return np.asarray(
+            _solve.solve(self.plan, self.Lx, rhs, d=self.d,
+                         arrays=self.arrays, linv=self._diag_inv()))
 
     def _diag_inv(self):
         if self._linv is None:
@@ -105,7 +136,6 @@ class CholeskyFactor:
         """
         if refine is None:
             refine = "auto" if self.A is not None else 0
-        linv = self._diag_inv()
         x = None
         if refine in ("auto", "device") and np.ndim(rhs) in (1, 2):
             ell = self._device_ell()
@@ -115,7 +145,7 @@ class CholeskyFactor:
                 try:
                     x = _refine.device_refined_solve(
                         self.plan, self.Lx, ell, rhs, d=self.d,
-                        arrays=self.arrays, linv=linv,
+                        arrays=self.arrays, linv=self._diag_inv(),
                     )
                 except Exception:
                     # e.g. the TPU compiler rejecting the fused program on
@@ -133,10 +163,7 @@ class CholeskyFactor:
                     "matrix, a single-jit plan, and n*K within the ELL "
                     "budget")
         if x is None:
-            x = np.asarray(
-                _solve.solve(self.plan, self.Lx, rhs, d=self.d,
-                             arrays=self.arrays, linv=linv)
-            )
+            x = np.asarray(self._solve_raw(rhs))
         if refine:
             if self.A is None:
                 raise ValueError("refinement needs the original matrix")
@@ -151,12 +178,7 @@ class CholeskyFactor:
                 if not (rnorm < 0.5 * rnorm_prev):  # stalled / converged
                     break
                 rnorm_prev = rnorm
-                dx = np.asarray(
-                    _solve.solve(
-                        self.plan, self.Lx, r, d=self.d, arrays=self.arrays,
-                        linv=linv,
-                    )
-                )
+                dx = np.asarray(self._solve_raw(r))
                 x = x + dx
         return x
 

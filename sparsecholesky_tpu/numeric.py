@@ -716,6 +716,46 @@ def _host_vsrc(b) -> np.ndarray:
     return vsrc
 
 
+def _bucket_aligned_fn(plan: FactorizePlan):
+    """Per-bucket aligned-addressing predicate, derived from the placement
+    arrays (works for pure-aligned, hybrid, and exact-tier-fit compact
+    buckets alike: when seg_stride == m_pad and below_off == w_pad the
+    aligned and compact address formulas coincide row-for-row)."""
+    _ss = np.asarray(getattr(plan, "seg_stride", plan.block_m),
+                     dtype=np.int64)
+    _bo = np.asarray(getattr(plan, "below_off", plan.block_w),
+                     dtype=np.int64)
+
+    def _b_aligned(b) -> bool:
+        sns = b.sn_ids
+        return bool(np.all(_ss[sns] == b.w_pad + b.mb_pad)
+                    and np.all(_bo[sns] == b.w_pad))
+
+    return _b_aligned
+
+
+def step_groups(plan: FactorizePlan):
+    """The canonical run grouping of the flattened step sequence: maximal
+    stretches of identically-shaped same-addressing buckets.  Shared
+    between build_runs and the store-row solve grids (solve_store.py) so
+    both sides agree run-for-run on arrays['meta']."""
+    _b_aligned = _bucket_aligned_fn(plan)
+    steps = [b for lev in plan.levels for b in lev]
+    groups = []
+    i = 0
+    while i < len(steps):
+        # addressing mode is static per compiled step body, so hybrid
+        # plans must not mix aligned and compact buckets in one scan
+        sig = (_bucket_sig(steps[i]), _b_aligned(steps[i]))
+        j = i + 1
+        while (j < len(steps)
+               and (_bucket_sig(steps[j]), _b_aligned(steps[j])) == sig):
+            j += 1
+        groups.append(steps[i:j])
+        i = j
+    return groups
+
+
 def build_runs(plan: FactorizePlan):
     """Compress the linear step sequence (levels flattened in order) into
     runs: maximal stretches of identically-shaped buckets become one
@@ -733,21 +773,7 @@ def build_runs(plan: FactorizePlan):
     argument count O(1) instead of O(buckets) matters: thousand-leaf
     pytrees trip XLA's tuple-parameter flattening and slow dispatch.
     """
-    # Per-bucket aligned addressing, derived from the placement arrays
-    # (works for pure-aligned, hybrid, and exact-tier-fit compact buckets
-    # alike: when seg_stride == m_pad and below_off == w_pad the aligned
-    # and compact address formulas coincide row-for-row).
-    _ss = np.asarray(getattr(plan, "seg_stride", plan.block_m),
-                     dtype=np.int64)
-    _bo = np.asarray(getattr(plan, "below_off", plan.block_w),
-                     dtype=np.int64)
-
-    def _b_aligned(b) -> bool:
-        sns = b.sn_ids
-        return bool(np.all(_ss[sns] == b.w_pad + b.mb_pad)
-                    and np.all(_bo[sns] == b.w_pad))
-
-    steps = [b for lev in plan.levels for b in lev]
+    _b_aligned = _bucket_aligned_fn(plan)
     chunks = {f: [] for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     offs = {f: 0 for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS}
     derived_bytes = 4 * sum(
@@ -774,17 +800,8 @@ def build_runs(plan: FactorizePlan):
     rtile = plan.run_tile
     dummy_row = plan.R_L - rtile
     itemsize = plan.dtype.itemsize
-    i = 0
-    while i < len(steps):
-        # addressing mode is static per compiled step body, so hybrid
-        # plans must not mix aligned and compact buckets in one scan
-        sig = (_bucket_sig(steps[i]), _b_aligned(steps[i]))
-        j = i + 1
-        while (j < len(steps)
-               and (_bucket_sig(steps[j]), _b_aligned(steps[j])) == sig):
-            j += 1
-        group = steps[i:j]
-        kind = "scan" if j - i >= 2 else "single"
+    for group in step_groups(plan):
+        kind = "scan" if len(group) >= 2 else "single"
         utile_g = tuple(
             max(b.utile_g[t] for b in group)
             for t in range(len(group[0].utile_g))
@@ -843,7 +860,6 @@ def build_runs(plan: FactorizePlan):
             spec.setdefault(f, None)
         meta.append((kind, tuple(sorted(spec.items())), utile_g, wm, rchunks,
                      slab, galigned))
-        i = j
     flat = {}
     for f in _FIELDS + _RUN_FIELDS + _DERIVED_FIELDS:
         dt = np.int32
