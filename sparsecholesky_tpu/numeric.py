@@ -185,11 +185,13 @@ _GBLOCK_REG_NS = 250
 _GBLOCK_ROW_NS = 0.7
 
 #: candidate C-block row counts (static DMA sizes; the planner picks the
-#: cheapest per chunk).  VMEM cost is NCB * CBLK * 512 B.
-_GBLOCK_CBLKS = (128, 256, 512)
+#: cheapest per chunk).  VMEM cost is NCB * CBLK * 512 B (4 MB at 1024).
+_GBLOCK_CBLKS = (128, 256, 512, 1024)
 
-#: candidate gblock store-region row counts (static; NRB-deep ring)
-_GBLOCK_RBS = (128, 256, 512, 1024)
+#: candidate gblock store-region row counts (static; NRB-deep ring;
+#: 2048 halves the per-region issue term on region-bound chunks at
+#: NRB * 2048 * 512 B = 4 MB of VMEM)
+_GBLOCK_RBS = (128, 256, 512, 1024, 2048)
 
 
 def _anchored_regions(ws_sorted, T: int, rb: int, row_cap: int):
@@ -482,7 +484,10 @@ def pack_group_run_tables(group, utile_g, itemsize: int, rtile: int,
         # window's block offset (ADVICE r3: cblk == rtile silently div0s)
         cblks = tuple(c for c in _GBLOCK_CBLKS if c > rtile)
         # anchored regions need rb >= 2*T (_anchored_regions invariant)
-        rbs = tuple(r for r in _GBLOCK_RBS if r >= 2 * rtile)
+        # and must fit the store (anchor clamps to row_cap - rb >= 0 and
+        # the pad region bases at dummy_row - (rb - rtile) >= 0)
+        rbs = tuple(r for r in _GBLOCK_RBS
+                    if 2 * rtile <= r <= dummy_row)
         for rbc in (rbs if cblks else ()):
             astats = [_gblock_stats(w[0][ch][0], w[0][ch][1], w[0][ch][3],
                                     rtile, cblks[0], rbc, row_cap)
