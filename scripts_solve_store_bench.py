@@ -46,6 +46,27 @@ def timeit(fn, reps=3):
 rng = np.random.default_rng(0)
 out = {"matrix": matrix, "ctx_build_s": t_build}
 Asp = A.to_scipy()
+
+# device-resident sweep cost (no host<->device RHS traffic): time the
+# two sweeps + a 1-element readback on a Y already on device
+from sparsecholesky_tpu.numeric import _chunk_boundaries, CHUNK_RUNS
+meta = arrays["meta"].value
+bounds = ([(0, len(meta))] if len(meta) <= CHUNK_RUNS
+          else list(_chunk_boundaries(meta)))
+Y0 = SS._yinit(ctx, jnp.asarray(np.ones((P.n, 1), np.float32)), d,
+               jnp.dtype(np.float32))
+def sweeps_only():
+    Y = Y0
+    for lo, hi in bounds:
+        Y = SS._ysweep_chunk(arrays, ctx, ctx["wp"], Y, P.R_L,
+                             jnp.dtype(np.float32), lo, hi, True)
+    for lo, hi in reversed(bounds):
+        Y = SS._ysweep_chunk(arrays, ctx, ctx["wp"], Y, P.R_L,
+                             jnp.dtype(np.float32), lo, hi, False)
+    return float(jnp.sum(Y[:1, :1]))
+t_dev = timeit(sweeps_only)
+print(f"device-resident 2-sweep time: {t_dev*1e3:.2f} ms", flush=True)
+out["sweeps_device_ms"] = round(t_dev * 1e3, 2)
 for k in ks:
     b = rng.standard_normal((P.n, k))
     x = SS.solve_rows(P, b, ctx=ctx, d=d, arrays=arrays)  # compile+warm

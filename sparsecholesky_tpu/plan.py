@@ -224,10 +224,15 @@ def update_chunks(B: int, mb_pad: int, g_pad: int, utile_g, itemsize: int):
 
 
 def _pad_g(g: int) -> int:
-    for t in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+    # ~1.2x-spaced tiers: the V workspace is [B, G_pad, LANE, w_pad], so
+    # G rounding is pure gather/write padding traffic (0.115 GB of the
+    # :48 V stream under the former 1.5x tiers, scripts round 5); finer
+    # tiers trade a few more distinct bucket sigs for ~2/3 of that
+    for t in (1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40,
+              48, 56, 64, 80, 96, 112, 128):
         if g <= t:
             return t
-    return -(-g // 64) * 64
+    return -(-g // 32) * 32
 
 
 @dataclasses.dataclass

@@ -238,16 +238,23 @@ def _ysweep_chunk(arrays, ybundle, WPx, Y, R_L, dtype, lo, hi, forward):
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def _yinit(ybundle, bp, d, dtype):
-    """Scatter the permuted+equilibrated RHS block into canonical rows:
-    Y = bp_ext[yinv] (one row gather; dead rows read the zero pad row)."""
+    """Permute + equilibrate + scatter the RHS block into canonical rows:
+    Y = bp_ext[yinv] (one row gather; dead rows read the zero pad row).
+    The host ships only [n, kb]; lane padding to the sweeps' 128 happens
+    HERE — the axon tunnel makes a [n, 128] host upload the dominant
+    cost of a small-k solve otherwise (round-5 measurement)."""
+    bp = jnp.take(bp, ybundle["perm"], axis=0)
     bpd = (bp * d[:, None]).astype(dtype)
-    bpx = jnp.concatenate([bpd, jnp.zeros((1, bp.shape[1]), dtype)], axis=0)
+    kb = bp.shape[1]
+    if kb < LANE:
+        bpd = jnp.pad(bpd, ((0, 0), (0, LANE - kb)))
+    bpx = jnp.concatenate([bpd, jnp.zeros((1, LANE), dtype)], axis=0)
     return jnp.take(bpx, ybundle["yinv"], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def _yfinish(ybundle, Y, d, dtype):
-    x = jnp.take(Y, ybundle["yof"], axis=0) * d[:, None]
+@functools.partial(jax.jit, static_argnames=("dtype", "kb"))
+def _yfinish(ybundle, Y, d, dtype, kb):
+    x = jnp.take(Y, ybundle["yof"], axis=0)[:, :kb] * d[:, None]
     return jnp.take(x, ybundle["iperm"], axis=0)
 
 
@@ -285,17 +292,21 @@ def solve_rows(plan: FactorizePlan, rhs, *, ctx, d=None, arrays=None):
         d = jnp.ones((plan.n,), dtype=dtype)
     rhs = np.asarray(rhs)
     squeeze = rhs.ndim == 1
-    R = rhs.reshape(plan.n, -1)
+    R = np.ascontiguousarray(rhs.reshape(plan.n, -1), dtype=plan.dtype)
     k = R.shape[1]
-    perm = np.asarray(ctx["perm"])
     meta = arrays["meta"].value
     bounds = ([(0, len(meta))] if len(meta) <= CHUNK_RUNS
               else list(_chunk_boundaries(meta)))
     outs = []
     for k0 in range(0, k, LANE):
         kb = min(LANE, k - k0)
-        bp = np.zeros((plan.n, LANE), dtype=np.float64)
-        bp[:, :kb] = R[perm, k0 : k0 + kb]
+        # pad kb to a power-of-two tier: the init/finish programs are
+        # kb-static (host<->device traffic is [n, kb_pad]), the sweeps
+        # are k-independent (128 lanes)
+        kb_pad = 1 << max(0, (kb - 1).bit_length())
+        bp = R[:, k0 : k0 + kb]
+        if kb_pad > kb:
+            bp = np.pad(bp, ((0, 0), (0, kb_pad - kb)))
         Y = _yinit(ctx, jnp.asarray(bp), d, dtype)
         for lo, hi in bounds:
             Y = _ysweep_chunk(arrays, ctx, ctx["wp"], Y, plan.R_L, dtype,
@@ -303,7 +314,7 @@ def solve_rows(plan: FactorizePlan, rhs, *, ctx, d=None, arrays=None):
         for lo, hi in reversed(bounds):
             Y = _ysweep_chunk(arrays, ctx, ctx["wp"], Y, plan.R_L, dtype,
                               lo, hi, False)
-        x = _yfinish(ctx, Y, d, dtype)
-        outs.append(np.asarray(x[:, :kb]))
+        x = _yfinish(ctx, Y, d, dtype, kb_pad)
+        outs.append(np.asarray(x)[:, :kb])
     out = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
     return out[:, 0] if squeeze else out
