@@ -228,8 +228,10 @@ class CholeskyFactor:
                 self.A.n, self.A.indptr, self.A.indices,
                 np.asarray(Ax), sym=self.A.sym,
             )
+        # _yctx holds the transformed factor store (WP) of the OLD values
+        # and must rebuild against the new Lx
         return dataclasses.replace(self, Lx=Lx, d=d, A=newA, _linv=None,
-                                   _ell=None)
+                                   _ell=None, _yctx=None)
 
     @property
     def perm(self) -> np.ndarray:

@@ -90,6 +90,22 @@ def test_api_cap_falls_back_to_legacy(bus1138, monkeypatch):
     assert np.linalg.norm(r) / np.sqrt(bus1138.n) < 1e-8
 
 
+def test_refactorize_rebuilds_store_ctx(bus1138):
+    """refactorize must not reuse the old values' WP store (_yctx)."""
+    from sparsecholesky_tpu.api import chol
+
+    F = chol(bus1138, ordering="amd")
+    F.solve(np.ones(bus1138.n), refine=0)
+    assert F._yctx not in (None, False)
+    Ax2 = bus1138.data * 4.0
+    F2 = F.refactorize(Ax2)
+    assert F2._yctx is None
+    x2 = F2.solve(np.ones(bus1138.n), refine=0)
+    # solution of 4A x = b is x/4
+    x1 = F.solve(np.ones(bus1138.n), refine=0)
+    np.testing.assert_allclose(x2, x1 / 4.0, rtol=1e-5)
+
+
 def test_chunked_sweep(monkeypatch):
     # force the chunked multi-executable sweep path on a small plan
     monkeypatch.setattr(solve_store, "CHUNK_RUNS", 4)
