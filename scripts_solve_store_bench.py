@@ -74,7 +74,7 @@ for k in ks:
     t = timeit(lambda: SS.solve_rows(P, b, ctx=ctx, d=d, arrays=arrays))
     print(f"store k={k:4d}: {t*1e3:8.2f} ms  ({t/k*1e3:7.3f} ms/RHS)  bwd-resid {bw:.2e}", flush=True)
     out[f"store_k{k}_ms"] = round(t * 1e3, 2)
-# legacy comparison at k=1 and 32
+# legacy comparison at k=1 and 32 (wall incl. transfers)
 linv = N.diag_inverses(arrays, Lx, P.R_L, jnp.dtype(np.float32))
 for k in (1, 32):
     b = rng.standard_normal((P.n, k)) if k > 1 else rng.standard_normal(P.n)
@@ -82,4 +82,16 @@ for k in (1, 32):
     t = timeit(lambda: np.asarray(legacy.solve(P, Lx, b, d=d, arrays=arrays, linv=linv)), reps=2)
     print(f"legacy k={k:3d}: {t*1e3:8.2f} ms ({t/k*1e3:7.3f} ms/RHS)", flush=True)
     out[f"legacy_k{k}_ms"] = round(t * 1e3, 2)
+
+# legacy DEVICE-RESIDENT (rhs pre-uploaded, 1-element readback): the r4
+# k-table was measured through np round-trips, i.e. partly the tunnel
+for k in (1, 32):
+    bdev = jnp.asarray(rng.standard_normal((P.n, k)).astype(np.float32))
+    def leg_dev():
+        x = legacy.solve(P, Lx, bdev, d=d, arrays=arrays, linv=linv)
+        return float(jnp.sum(x[:1]))
+    leg_dev()
+    t = timeit(leg_dev, reps=2)
+    print(f"legacy-devres k={k:3d}: {t*1e3:8.2f} ms ({t/k*1e3:7.3f} ms/RHS)", flush=True)
+    out[f"legacy_devres_k{k}_ms"] = round(t * 1e3, 2)
 print(json.dumps(out), flush=True)
