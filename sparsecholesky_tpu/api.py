@@ -49,12 +49,25 @@ class CholeskyFactor:
 
     def _store_ctx(self):
         """Lazy store-row-space solve context (Y/WP in [R_L, 128] row
-        space — the round-5 solve redesign).  False = ineligible (the
-        WP + Y stores would exceed the byte budget) or build failed."""
+        space — solve_store.py).  False = ineligible (opt-out, byte
+        budget exceeded, or build failed).
+
+        The store-row path is OPT-IN (``SPARSECHOL_SOLVE_STORE=1``): the
+        round-5 on-chip measurement falsified the design's premise — the
+        round-4 "25.5 ms/RHS legacy floor" it was built to beat was the
+        remote tunnel's host<->device transfer, not the device.  With
+        the RHS device-resident, the legacy sweeps with batched-inverse
+        matmuls run :48 at 55.5 ms (k=1) and a FLAT ~86 ms for k=8..128
+        (0.68 ms/RHS at 128), while the store path's [R_L, 128]-row
+        traffic costs 127 ms at every k (BASELINE.md round-5 solve
+        section)."""
         if self._yctx is None:
+            import os
+
             from . import solve_store as _ss
 
-            if not _ss.eligible(self.plan):
+            if (os.environ.get("SPARSECHOL_SOLVE_STORE") != "1"
+                    or not _ss.eligible(self.plan)):
                 self._yctx = False
             else:
                 try:
@@ -65,8 +78,9 @@ class CholeskyFactor:
         return self._yctx or None
 
     def _solve_raw(self, rhs):
-        """One raw factor solve (no refinement): the store-row path when
-        eligible, else the legacy element-granular sweeps."""
+        """One raw factor solve (no refinement): the legacy sweeps with
+        the batched-inverse MXU fast path (measured-fastest at every k,
+        see _store_ctx), or the opt-in store-row path."""
         ctx = self._store_ctx()
         if ctx is not None:
             from . import solve_store as _ss

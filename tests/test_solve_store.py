@@ -69,9 +69,10 @@ def test_canonical_row_map_bijective():
     assert len(ymeta) == len(arrays["meta"].value)
 
 
-def test_api_routes_store_path(bus1138):
+def test_api_routes_store_path_opt_in(bus1138, monkeypatch):
     from sparsecholesky_tpu.api import chol
 
+    monkeypatch.setenv("SPARSECHOL_SOLVE_STORE", "1")
     F = chol(bus1138, ordering="amd")
     x = F.solve(np.ones(bus1138.n))
     assert F._yctx not in (None, False), "store path should have engaged"
@@ -79,9 +80,22 @@ def test_api_routes_store_path(bus1138):
     assert np.linalg.norm(r) / np.sqrt(bus1138.n) < 1e-8
 
 
+def test_api_default_is_legacy(bus1138):
+    # round-5 measurement: the legacy sweeps + batched inverses are the
+    # fastest device-resident path at every k; store-row is opt-in
+    from sparsecholesky_tpu.api import chol
+
+    F = chol(bus1138, ordering="amd")
+    x = F.solve(np.ones(bus1138.n))
+    assert F._yctx is False
+    r = bus1138.to_scipy() @ x - 1.0
+    assert np.linalg.norm(r) / np.sqrt(bus1138.n) < 1e-8
+
+
 def test_api_cap_falls_back_to_legacy(bus1138, monkeypatch):
     from sparsecholesky_tpu.api import chol
 
+    monkeypatch.setenv("SPARSECHOL_SOLVE_STORE", "1")
     monkeypatch.setenv("SPARSECHOL_SOLVE_STORE_CAP", "1")
     F = chol(bus1138, ordering="amd")
     x = F.solve(np.ones(bus1138.n))
@@ -90,10 +104,11 @@ def test_api_cap_falls_back_to_legacy(bus1138, monkeypatch):
     assert np.linalg.norm(r) / np.sqrt(bus1138.n) < 1e-8
 
 
-def test_refactorize_rebuilds_store_ctx(bus1138):
+def test_refactorize_rebuilds_store_ctx(bus1138, monkeypatch):
     """refactorize must not reuse the old values' WP store (_yctx)."""
     from sparsecholesky_tpu.api import chol
 
+    monkeypatch.setenv("SPARSECHOL_SOLVE_STORE", "1")
     F = chol(bus1138, ordering="amd")
     F.solve(np.ones(bus1138.n), refine=0)
     assert F._yctx not in (None, False)
