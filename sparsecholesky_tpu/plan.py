@@ -501,13 +501,20 @@ def compile_plan(
     block_m = np.array([len(r) for r in S.sn_rows], dtype=np.int64)
     block_nseg = -(-block_w // LANE)
 
+    import os
+
     # padded bucket key per supernode (shared by the store layout and the
-    # per-level bucket grouping below — they MUST agree)
+    # per-level bucket grouping below — they MUST agree).
+    # NOTE (round-5 falsification, scripts_smallplan.py): auto-selecting
+    # the coarse profile for small plans looked like a 2.5x win under a
+    # sync-every-iteration protocol (212.7 -> 84.6 ms on fem3d:16:3) but
+    # LOSES under the production pipelined-dispatch pattern (27.5 ms fine
+    # vs 35.1 ms coarse): with dispatch overlapped, the coarse mb tiers'
+    # padded update-grid traffic dominates.  Fine tiers stay the one
+    # default at every size.
     wt, mbt, mbc = _profile(pad_profile)
     w_pad_s = _pad_w_vec(block_w, wt)
     mb_pad_s = _pad_mb_vec(block_m - block_w, mbt, mbc)
-
-    import os
 
     cap = int(os.environ.get("SPARSECHOL_ALIGN_CAP", 8 * 2**30))
     itemsize = np.dtype(dtype or A.data.dtype).itemsize
