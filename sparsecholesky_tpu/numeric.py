@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -1573,7 +1574,8 @@ def _factorize_jit(arrays, Ax, R_L, dtype, backend, scale,
 # dispatch asynchronously back-to-back so steady-state cost is unchanged.
 
 #: one-jit threshold; plans with more runs than this compile chunked
-CHUNK_RUNS = 96
+#: (env-overridable for the cold-path program-size experiments)
+CHUNK_RUNS = int(os.environ.get("SPARSECHOL_CHUNK_RUNS", 96))
 
 
 @functools.partial(jax.jit, static_argnames=("R_L", "dtype", "scale"))
