@@ -248,8 +248,17 @@ def run_bench(
 
     # cold build, decomposed (VERDICT r3 item 5): host plan compile vs
     # device upload vs first factorize (jit compile / cache deserialize
-    # + run).  The uncontrollable tunnel wake is whatever the enclosing
-    # process already paid before this call.
+    # + run).  The uncontrollable tunnel wake (70-500 s on an idle
+    # tunnel, zero code control) is paid HERE by an explicit probe and
+    # timed separately, so the build decomposition and the one-shot
+    # ratio measure the build, not the infrastructure (VERDICT r4
+    # item 3: "excluding tunnel wake").
+    import jax.numpy as _jnp
+
+    t0 = time.time()
+    float(_jnp.sum(_jnp.ones((8, 128))))
+    t_wake = time.time() - t0
+
     t_sym0 = time.time()
     if scale == "auto":
         scale = _needs_equilibration(A)
@@ -408,6 +417,7 @@ def run_bench(
             "speed_of_light_fraction": sol["speed_of_light_fraction"],
             "roofline_bound": sol["roofline_bound"],
             "build_seconds_incl_compile": t_build,
+            "build_seconds_tunnel_wake": t_wake,
             "build_seconds_host_plan": t_plan,
             "build_seconds_device_upload": t_upload,
             "build_seconds_first_factorize": t_first,
