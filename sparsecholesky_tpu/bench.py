@@ -128,8 +128,20 @@ _KERNEL_CHECK_FIXTURES = ("poisson3d:16", "irregular3d:12")
 
 
 def _kernel_check_one(fixture: str) -> dict:
-    """One fixture's runs_xla-vs-runs_pallas factor comparison (runs on
-    the current backend; called in-process or via the subprocess shim)."""
+    """One fixture's runs_xla-vs-runs_pallas factor comparison.
+
+    The kernel-semantics ``runs_xla`` REFERENCE runs on the CPU backend
+    (same window tables, pure XLA ops): the axon worker reliably crashes
+    when one plan's Pallas programs are followed by another plan's
+    XLA-extend program — even across client processes
+    (evidence/axon_pallas_xla_crash.md; the round-5 bench reproduced it
+    with the :48 programs resident and the gate fixture in a fresh
+    subprocess).  With the reference on CPU, each gate fixture touches
+    the TPU with exactly ONE program (the Pallas-bearing factorize), the
+    combination every bisect sequence survived.  The comparison is
+    cross-backend, so it is tolerance-based (1e-5 relative), not
+    bitwise."""
+    import jax
     import jax.numpy as jnp
     from .cli import _load
     from .ordering import compute_ordering
@@ -140,13 +152,16 @@ def _kernel_check_one(fixture: str) -> dict:
     perm = compute_ordering(A, "nd-grid" if grid else "auto",
                             grid_shape=grid)
     P = compile_plan(A, perm=perm, dtype=np.float32)
-    arrays = N.device_arrays(P)
-    Ax = jnp.asarray(A.data)
     outs = {}
-    for ext in ("runs_xla", "runs_pallas"):
-        Lx, _d = N.factorize(P, Ax, arrays=arrays, check=False,
-                             extend=ext)
-        outs[ext] = P.extract_csc(np.asarray(Lx)).to_dense()
+    with jax.default_device(jax.devices("cpu")[0]):
+        arrays_cpu = N.device_arrays(P)
+        Lx, _d = N.factorize(P, jnp.asarray(A.data), arrays=arrays_cpu,
+                             check=False, extend="runs_xla")
+        outs["runs_xla"] = P.extract_csc(np.asarray(Lx)).to_dense()
+    arrays = N.device_arrays(P)
+    Lx, _d = N.factorize(P, jnp.asarray(A.data), arrays=arrays,
+                         check=False, extend="runs_pallas")
+    outs["runs_pallas"] = P.extract_csc(np.asarray(Lx)).to_dense()
     diff = float(np.abs(outs["runs_xla"] - outs["runs_pallas"]).max())
     scale = float(np.abs(outs["runs_xla"]).max())
     return {"diff": diff, "scale": scale}
@@ -193,9 +208,15 @@ def _kernel_check(fixtures=_KERNEL_CHECK_FIXTURES) -> dict:
             f"print('KCHECK ' + json.dumps(_kernel_check_one({fixture!r})))"
         )
         try:
+            import os as _os
+
+            # the CPU backend must coexist with axon for the reference
+            # factorize (the sitecustomize's axon-only platform config
+            # would otherwise drop it)
+            env = dict(_os.environ, JAX_PLATFORMS="axon,cpu")
             r = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
-                text=True, timeout=1800,
+                text=True, timeout=1800, env=env,
             )
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("KCHECK ")), None)
