@@ -210,10 +210,11 @@ def _kernel_check(fixtures=_KERNEL_CHECK_FIXTURES) -> dict:
         try:
             import os as _os
 
-            # the CPU backend must coexist with axon for the reference
-            # factorize (the sitecustomize's axon-only platform config
-            # would otherwise drop it)
-            env = dict(_os.environ, JAX_PLATFORMS="axon,cpu")
+            # the CPU backend must coexist with the TPU backend for the
+            # reference factorize (the sitecustomize's axon-only platform
+            # config would otherwise drop it)
+            env = dict(_os.environ,
+                       JAX_PLATFORMS=f"{jax.default_backend()},cpu")
             r = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
                 text=True, timeout=1800, env=env,

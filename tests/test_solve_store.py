@@ -25,9 +25,9 @@ def _check(A, perm=None, layout=None, k=3):
     scale = max(float(np.abs(x1).max()), 1e-30)
     np.testing.assert_allclose(x2, x1, atol=1e-10 * scale, rtol=0)
     # 1-D rhs round-trips with the same programs (k rides the lanes)
-    x3 = solve_rows_1d = solve_store.solve_rows(
-        plan, b[:, 0], ctx=ctx, d=d, arrays=arrays)
-    assert solve_rows_1d.ndim == 1
+    x3 = solve_store.solve_rows(plan, b[:, 0], ctx=ctx, d=d,
+                                arrays=arrays)
+    assert x3.ndim == 1
     np.testing.assert_allclose(x3, x1[:, 0], atol=1e-10 * scale, rtol=0)
     return plan, ctx
 
