@@ -212,9 +212,15 @@ def _kernel_check(fixtures=_KERNEL_CHECK_FIXTURES) -> dict:
 
             # the CPU backend must coexist with the TPU backend for the
             # reference factorize (the sitecustomize's axon-only platform
-            # config would otherwise drop it)
-            env = dict(_os.environ,
-                       JAX_PLATFORMS=f"{jax.default_backend()},cpu")
+            # config would otherwise drop it).  Use the configured
+            # PLATFORM name (e.g. "axon"), NOT default_backend() — the
+            # axon plugin reports its backend as "tpu", which is not a
+            # registrable platform here.
+            plat = getattr(jax.config, "jax_platforms", None) \
+                or jax.default_backend()
+            if "cpu" not in plat.split(","):
+                plat = f"{plat},cpu"
+            env = dict(_os.environ, JAX_PLATFORMS=plat)
             r = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
                 text=True, timeout=1800, env=env,
